@@ -1,0 +1,577 @@
+r"""SoA alignment records and BAM-encoded CIGAR containers.
+
+Capability parity with ``/root/reference/src/kaptive/core/alignment.py``:
+``CigarOp`` (:26-67), ``Cigars`` (:70-203) incl. ``swap_sides`` (:177),
+``Alignment`` view (:206-259), ``Alignments`` (:262-868) incl. best-hit
+selection (:606), overlap culling (:643), interval conversion (:753) and
+contig-edge partial detection (:774-809).
+
+Design: in the reference, alignments are ingested from rammappy's per-hit
+iterators and a Numba CIGAR-string parser (:872-938).  Here the TPU mapper
+(:mod:`kaptive_tpu.ops.mapper`) produces flat arrays directly, so ingest is a
+zero-copy constructor (:meth:`Alignments.from_arrays`); the CIGAR byte-string
+parser is kept (vectorised numpy) for PAF/SAM interchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from dataclasses import dataclass
+from enum import IntEnum
+from typing import Any, NamedTuple, Self
+
+import numpy as np
+import numpy.typing as npt
+
+from kaptive_tpu.core.collections import cumulative_offsets
+from kaptive_tpu.core.interval import Intervals, Strand
+
+
+class CigarOp(IntEnum):
+    r"""BAM CIGAR operation encodings (M/I/D/N/S/H/P/=/X/B)."""
+
+    M = 0
+    I = 1  # noqa: E741
+    D = 2
+    N = 3
+    S = 4
+    H = 5
+    P = 6
+    EQ = 7
+    X = 8
+    B = 9
+
+    @property
+    def char(self) -> str:
+        return "MIDNSHP=XB"[self.value]
+
+
+@dataclass(frozen=True, slots=True)
+class Cigars:
+    r"""Ragged batch of BAM-encoded uint32 CIGAR operations (len<<4 | op)."""
+
+    data: npt.NDArray[np.uint32]
+    offsets: npt.NDArray[np.int32]
+    lengths: npt.NDArray[np.int32]
+
+    def __len__(self) -> int:
+        return len(self.offsets)
+
+    def __getitem__(self, item: int | slice | npt.NDArray[Any] | list[int]) -> npt.NDArray[np.uint32] | Cigars:
+        if isinstance(item, (int, np.integer)):
+            if item < 0:
+                item += len(self)  # type: ignore[assignment]
+            if item < 0 or item >= len(self):
+                raise IndexError("Batch index out of range")
+            offset_val, length_val = self.offsets[item], self.lengths[item]
+            return self.data[offset_val : offset_val + length_val]
+
+        if isinstance(item, slice):
+            indices = np.arange(len(self))[item]
+        else:
+            item_arr = np.asarray(item)
+            indices = np.nonzero(item_arr)[0] if item_arr.dtype.kind == "b" else item_arr
+
+        if len(indices) == 0:
+            return self.empty()
+
+        new_lengths = self.lengths[indices]
+        new_offsets = cumulative_offsets(new_lengths)
+        extracted = (
+            np.concatenate([self.data[self.offsets[i] : self.offsets[i] + self.lengths[i]] for i in indices])
+            if len(indices)
+            else np.empty(0, dtype=np.uint32)
+        )
+        return Cigars(extracted, new_offsets, new_lengths)
+
+    @classmethod
+    def empty(cls) -> Cigars:
+        return cls(np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32))
+
+    @classmethod
+    def concat(cls, batches: Iterable[Self]) -> Self:
+        batches_list = list(batches)
+        if not batches_list:
+            return cls.empty()  # type: ignore[return-value]
+        lengths = np.concatenate([b.lengths for b in batches_list])
+        return cls(
+            np.concatenate([b.data for b in batches_list]), cumulative_offsets(lengths), lengths
+        )
+
+    def swap_sides(self) -> Cigars:
+        r"""Swap I and D ops (query/target role swap), vectorised (ref ``alignment.py:941-961``)."""
+        ops = self.data & np.uint32(0xF)
+        swapped = np.where(ops == 1, (self.data & ~np.uint32(0xF)) | 2,
+                           np.where(ops == 2, (self.data & ~np.uint32(0xF)) | 1, self.data))
+        return Cigars(swapped.astype(np.uint32), self.offsets, self.lengths)
+
+    @classmethod
+    def from_lists(cls, cigar_lists: list[npt.NDArray[np.uint32]]) -> Cigars:
+        if not cigar_lists:
+            return cls.empty()
+        lengths = np.array([len(c) for c in cigar_lists], dtype=np.int32)
+        return cls(np.concatenate(cigar_lists) if lengths.sum() else np.empty(0, dtype=np.uint32),
+                   cumulative_offsets(lengths), lengths)
+
+    def to_strings(self) -> list[bytes]:
+        r"""Render each CIGAR back to its byte-string form (e.g. ``b"100M5D20M"``)."""
+        out = []
+        chars = b"MIDNSHP=XB"
+        for i in range(len(self)):
+            ops = self[i]
+            out.append(b"".join(b"%d%c" % (int(o) >> 4, chars[int(o) & 0xF]) for o in ops))
+        return out
+
+
+_CIGAR_OP_LUT = np.full(256, 255, dtype=np.uint8)
+for _i, _ch in enumerate(b"MIDNSHP=XB"):
+    _CIGAR_OP_LUT[_ch] = _i
+
+
+def parse_cigar_string(cigar_bytes: bytes) -> npt.NDArray[np.uint32]:
+    r"""Parse a CIGAR byte-string into BAM-encoded uint32 ops (ref ``alignment.py:872-938``), vectorised."""
+    if not cigar_bytes:
+        return np.empty(0, dtype=np.uint32)
+    arr = np.frombuffer(cigar_bytes, dtype=np.uint8)
+    op_codes = _CIGAR_OP_LUT[arr]
+    is_op = op_codes != 255
+    op_pos = np.nonzero(is_op)[0]
+    if len(op_pos) == 0:
+        return np.empty(0, dtype=np.uint32)
+    # Parse the run lengths between op characters.
+    is_digit = (arr >= 48) & (arr <= 57)
+    digits = (arr - 48).astype(np.uint64)
+    # Compute each digit's positional weight within its number via distance to next op char.
+    next_op = np.empty(len(arr), dtype=np.int64)
+    # next op index at or after each position (reverse cummin of op positions)
+    idx_of_op = np.full(len(arr), len(arr), dtype=np.int64)
+    idx_of_op[op_pos] = op_pos
+    next_op = np.minimum.accumulate(idx_of_op[::-1])[::-1]
+    weight_exp = next_op - np.arange(len(arr)) - 1
+    weights = np.power(np.uint64(10), np.maximum(weight_exp, 0).astype(np.uint64))
+    contrib = np.where(is_digit, digits * weights, np.uint64(0))
+    # Sum digit contributions per op (segment sum keyed by next_op).
+    lengths = np.zeros(len(arr) + 1, dtype=np.uint64)
+    np.add.at(lengths, next_op[is_digit], contrib[is_digit])
+    out = ((lengths[op_pos] << np.uint64(4)) | op_codes[op_pos].astype(np.uint64)).astype(np.uint32)
+    return out
+
+
+class Alignment(NamedTuple):
+    r"""Read-only scalar view of one alignment record (ref ``alignment.py:206-259``)."""
+
+    idx: int
+    q_name: str
+    q_length: int
+    q_start: int
+    q_end: int
+    t_name: str
+    t_length: int
+    t_start: int
+    t_end: int
+    strand: Strand
+    length: int
+    match: int
+    mismatch: int
+    score: int
+    quality: int
+    cigar: npt.NDArray[np.uint32]
+    is_primary: bool
+    is_supplementary: bool
+    is_spliced: bool
+    divergence: float
+    cs: bytes | None
+    md: bytes | None
+
+
+@dataclass(frozen=True, slots=True)
+class Alignments:
+    r"""Vectorised SoA batch of alignment records (PAF-like fields + CIGARs)."""
+
+    q_name_ids: npt.NDArray[np.int32]
+    q_names_dict: tuple[str, ...]
+    q_lengths: npt.NDArray[np.int32]
+    q_starts: npt.NDArray[np.int32]
+    q_ends: npt.NDArray[np.int32]
+    t_name_ids: npt.NDArray[np.int32]
+    t_names_dict: tuple[str, ...]
+    t_lengths: npt.NDArray[np.int32]
+    t_starts: npt.NDArray[np.int32]
+    t_ends: npt.NDArray[np.int32]
+    strands: npt.NDArray[np.int8]
+    lengths: npt.NDArray[np.int32]
+    matches: npt.NDArray[np.int32]
+    mismatches: npt.NDArray[np.int32]
+    scores: npt.NDArray[np.int32]
+    qualities: npt.NDArray[np.uint8]
+    cigars: Cigars
+    is_primary: npt.NDArray[np.bool_]
+    is_supplementary: npt.NDArray[np.bool_]
+    is_spliced: npt.NDArray[np.bool_]
+    divergence: npt.NDArray[np.float64]
+    cs: npt.NDArray[np.object_]
+    md: npt.NDArray[np.object_]
+
+    @property
+    def q_names(self) -> npt.NDArray[np.object_]:
+        return np.array([self.q_names_dict[i] for i in self.q_name_ids], dtype=object)
+
+    @property
+    def t_names(self) -> npt.NDArray[np.object_]:
+        return np.array([self.t_names_dict[i] for i in self.t_name_ids], dtype=object)
+
+    @property
+    def q_aln_lens(self) -> npt.NDArray[np.int32]:
+        return self.q_ends - self.q_starts
+
+    @property
+    def t_aln_lens(self) -> npt.NDArray[np.int32]:
+        return self.t_ends - self.t_starts
+
+    @property
+    def q_covs(self) -> npt.NDArray[np.float64]:
+        return np.divide(
+            self.q_aln_lens, self.q_lengths,
+            out=np.zeros_like(self.q_lengths, dtype=np.float64), where=self.q_lengths > 0,
+        )
+
+    @property
+    def t_covs(self) -> npt.NDArray[np.float64]:
+        return np.divide(
+            self.t_aln_lens, self.t_lengths,
+            out=np.zeros_like(self.t_lengths, dtype=np.float64), where=self.t_lengths > 0,
+        )
+
+    def __len__(self) -> int:
+        return len(self.q_starts)
+
+    @classmethod
+    def from_arrays(
+        cls,
+        q_name_ids: npt.NDArray[np.integer],
+        q_names_dict: tuple[str, ...],
+        q_lengths: npt.NDArray[np.integer],
+        q_starts: npt.NDArray[np.integer],
+        q_ends: npt.NDArray[np.integer],
+        t_name_ids: npt.NDArray[np.integer],
+        t_names_dict: tuple[str, ...],
+        t_lengths: npt.NDArray[np.integer],
+        t_starts: npt.NDArray[np.integer],
+        t_ends: npt.NDArray[np.integer],
+        strands: npt.NDArray[np.integer],
+        matches: npt.NDArray[np.integer],
+        edit_distances: npt.NDArray[np.integer],
+        scores: npt.NDArray[np.integer],
+        qualities: npt.NDArray[np.integer] | None = None,
+        block_lengths: npt.NDArray[np.integer] | None = None,
+        cigars: Cigars | None = None,
+        is_primary: npt.NDArray[np.bool_] | None = None,
+    ) -> Alignments:
+        r"""Zero-copy ingest from the TPU mapper's flat output arrays.
+
+        Replaces ``Alignments.from_mapping_iterators`` (ref ``alignment.py:391-474``)
+        which looped over rammappy hit iterators; the TPU mapper already emits SoA.
+        ``mismatches`` stores the edit distance, mirroring the reference's ingest of
+        rammappy's ``edit_distance`` into the ``mismatches`` field (:431).
+        """
+        n = len(q_starts)
+        if block_lengths is None:
+            block_lengths = np.maximum(q_ends - q_starts, t_ends - t_starts)
+        return cls(
+            q_name_ids=np.asarray(q_name_ids, dtype=np.int32),
+            q_names_dict=q_names_dict,
+            q_lengths=np.asarray(q_lengths, dtype=np.int32),
+            q_starts=np.asarray(q_starts, dtype=np.int32),
+            q_ends=np.asarray(q_ends, dtype=np.int32),
+            t_name_ids=np.asarray(t_name_ids, dtype=np.int32),
+            t_names_dict=t_names_dict,
+            t_lengths=np.asarray(t_lengths, dtype=np.int32),
+            t_starts=np.asarray(t_starts, dtype=np.int32),
+            t_ends=np.asarray(t_ends, dtype=np.int32),
+            strands=np.asarray(strands, dtype=np.int8),
+            lengths=np.asarray(block_lengths, dtype=np.int32),
+            matches=np.asarray(matches, dtype=np.int32),
+            mismatches=np.asarray(edit_distances, dtype=np.int32),
+            scores=np.asarray(scores, dtype=np.int32),
+            qualities=np.zeros(n, dtype=np.uint8) if qualities is None else np.asarray(qualities, dtype=np.uint8),
+            cigars=cigars if cigars is not None else Cigars(
+                np.empty(0, dtype=np.uint32), np.zeros(n, dtype=np.int32), np.zeros(n, dtype=np.int32)
+            ),
+            is_primary=np.ones(n, dtype=bool) if is_primary is None else np.asarray(is_primary, dtype=bool),
+            is_supplementary=np.zeros(n, dtype=bool),
+            is_spliced=np.zeros(n, dtype=bool),
+            divergence=np.zeros(n, dtype=np.float64),
+            cs=np.full(n, None, dtype=object),
+            md=np.full(n, None, dtype=object),
+        )
+
+    @classmethod
+    def concat(cls, batches: Iterable[Alignments]) -> Self:
+        batches_list = list(batches)
+        if not batches_list:
+            raise ValueError("Cannot concatenate an empty iterable of batches")
+
+        kwargs: dict[str, Any] = {}
+        q_names_map: dict[str, int] = {}
+        q_names_list: list[str] = []
+        t_names_map: dict[str, int] = {}
+        t_names_list: list[str] = []
+        new_q_ids, new_t_ids = [], []
+
+        for b in batches_list:
+            q_remap = np.empty(len(b.q_names_dict), dtype=np.int32)
+            for i, name in enumerate(b.q_names_dict):
+                if name not in q_names_map:
+                    q_names_map[name] = len(q_names_list)
+                    q_names_list.append(name)
+                q_remap[i] = q_names_map[name]
+            new_q_ids.append(q_remap[b.q_name_ids] if len(b.q_name_ids) else b.q_name_ids)
+
+            t_remap = np.empty(len(b.t_names_dict), dtype=np.int32)
+            for i, name in enumerate(b.t_names_dict):
+                if name not in t_names_map:
+                    t_names_map[name] = len(t_names_list)
+                    t_names_list.append(name)
+                t_remap[i] = t_names_map[name]
+            new_t_ids.append(t_remap[b.t_name_ids] if len(b.t_name_ids) else b.t_name_ids)
+
+        kwargs["q_name_ids"] = np.concatenate(new_q_ids)
+        kwargs["q_names_dict"] = tuple(q_names_list)
+        kwargs["t_name_ids"] = np.concatenate(new_t_ids)
+        kwargs["t_names_dict"] = tuple(t_names_list)
+
+        for field_name in cls.__dataclass_fields__:
+            if field_name in ("q_name_ids", "q_names_dict", "t_name_ids", "t_names_dict"):
+                continue
+            if field_name == "cigars":
+                kwargs[field_name] = Cigars.concat([b.cigars for b in batches_list])
+                continue
+            first_val = getattr(batches_list[0], field_name)
+            if isinstance(first_val, np.ndarray):
+                kwargs[field_name] = np.concatenate([getattr(b, field_name) for b in batches_list])
+            else:
+                if any(getattr(b, field_name) != first_val for b in batches_list):
+                    raise ValueError(f"Cannot concatenate batches with mismatched '{field_name}' values")
+                kwargs[field_name] = first_val
+
+        return cls(**kwargs)  # type: ignore[return-value]
+
+    def __getitem__(self, item: int | slice | npt.NDArray[Any] | list[int]) -> Alignment | Alignments:
+        if isinstance(item, (int, np.integer)):
+            if item < 0:
+                item += len(self)  # type: ignore[assignment]
+            if item < 0 or item >= len(self):
+                raise IndexError("Batch index out of range")
+            return Alignment(
+                idx=item,  # type: ignore[arg-type]
+                q_name=self.q_names_dict[self.q_name_ids[item]],
+                q_length=self.q_lengths[item],
+                q_start=self.q_starts[item],
+                q_end=self.q_ends[item],
+                t_name=self.t_names_dict[self.t_name_ids[item]],
+                t_length=self.t_lengths[item],
+                t_start=self.t_starts[item],
+                t_end=self.t_ends[item],
+                strand=Strand(self.strands[item]),
+                length=self.lengths[item],
+                match=self.matches[item],
+                mismatch=self.mismatches[item],
+                score=self.scores[item],
+                quality=self.qualities[item],
+                cigar=self.cigars[item],  # type: ignore[arg-type]
+                is_primary=self.is_primary[item],
+                is_supplementary=self.is_supplementary[item],
+                is_spliced=self.is_spliced[item],
+                divergence=self.divergence[item],
+                cs=self.cs[item],
+                md=self.md[item],
+            )
+
+        return Alignments(
+            q_name_ids=self.q_name_ids[item],
+            q_names_dict=self.q_names_dict,
+            q_lengths=self.q_lengths[item],
+            q_starts=self.q_starts[item],
+            q_ends=self.q_ends[item],
+            t_name_ids=self.t_name_ids[item],
+            t_names_dict=self.t_names_dict,
+            t_lengths=self.t_lengths[item],
+            t_starts=self.t_starts[item],
+            t_ends=self.t_ends[item],
+            strands=self.strands[item],
+            lengths=self.lengths[item],
+            matches=self.matches[item],
+            mismatches=self.mismatches[item],
+            scores=self.scores[item],
+            qualities=self.qualities[item],
+            cigars=self.cigars[item],  # type: ignore[arg-type]
+            is_primary=self.is_primary[item],
+            is_supplementary=self.is_supplementary[item],
+            is_spliced=self.is_spliced[item],
+            divergence=self.divergence[item],
+            cs=self.cs[item],
+            md=self.md[item],
+        )
+
+    def best(self, by_query: bool = True) -> Alignments:
+        r"""Best alignment per query/target by (score, matches, MAPQ) (ref ``alignment.py:606-641``)."""
+        if (n := len(self)) == 0:
+            return self
+        name_ints = self.q_name_ids if by_query else self.t_name_ids
+        order = np.lexsort((-self.qualities, -self.matches, -self.scores, name_ints))
+        name_sorted = name_ints[order]
+        first_occurrence_mask = np.empty(n, dtype=bool)
+        first_occurrence_mask[0] = True
+        first_occurrence_mask[1:] = name_sorted[1:] != name_sorted[:-1]
+        best_indices = order[first_occurrence_mask]
+        best_indices.sort()
+        return self[best_indices]  # type: ignore[return-value]
+
+    def cull_overlaps(
+        self,
+        max_overlap_fraction: float = 0.1,
+        group_by: np.ndarray | None = None,
+        priority_mask: np.ndarray | None = None,
+        by_query: bool = True,
+    ) -> Alignments:
+        r"""Greedy culling of overlapping lower-priority alignments (ref ``alignment.py:643-686``)."""
+        if (n := len(self)) < 2:
+            return self
+        name_ints = self.q_name_ids if by_query else self.t_name_ids
+        scores = self.scores.astype(np.float64)
+        if priority_mask is not None:
+            scores[priority_mask] += 1e9
+        order = np.lexsort((-self.qualities, -self.matches, -scores)).astype(np.int32)
+        if group_by is None:
+            group_by = np.zeros(n, dtype=np.int32)
+        kept_mask = self.to_intervals(by_query=by_query).cull_overlaps(
+            order=order,
+            max_overlap_fraction=max_overlap_fraction,
+            group_by=name_ints,
+            secondary_group_by=group_by,
+        )
+        return self[kept_mask]  # type: ignore[return-value]
+
+    def swap_sides(self) -> Alignments:
+        return Alignments(
+            q_name_ids=self.t_name_ids,
+            q_names_dict=self.t_names_dict,
+            q_lengths=self.t_lengths,
+            q_starts=self.t_starts,
+            q_ends=self.t_ends,
+            t_name_ids=self.q_name_ids,
+            t_names_dict=self.q_names_dict,
+            t_lengths=self.q_lengths,
+            t_starts=self.q_starts,
+            t_ends=self.q_ends,
+            strands=self.strands,
+            lengths=self.lengths,
+            matches=self.matches,
+            mismatches=self.mismatches,
+            scores=self.scores,
+            qualities=self.qualities,
+            cigars=self.cigars.swap_sides(),
+            is_primary=self.is_primary,
+            is_supplementary=self.is_supplementary,
+            is_spliced=self.is_spliced,
+            divergence=self.divergence,
+            cs=self.cs,
+            md=self.md,
+        )
+
+    @classmethod
+    def empty(cls) -> Alignments:
+        return cls(
+            q_name_ids=np.empty(0, dtype=np.int32),
+            q_names_dict=(),
+            q_lengths=np.empty(0, dtype=np.int32),
+            q_starts=np.empty(0, dtype=np.int32),
+            q_ends=np.empty(0, dtype=np.int32),
+            t_name_ids=np.empty(0, dtype=np.int32),
+            t_names_dict=(),
+            t_lengths=np.empty(0, dtype=np.int32),
+            t_starts=np.empty(0, dtype=np.int32),
+            t_ends=np.empty(0, dtype=np.int32),
+            strands=np.empty(0, dtype=np.int8),
+            lengths=np.empty(0, dtype=np.int32),
+            matches=np.empty(0, dtype=np.int32),
+            mismatches=np.empty(0, dtype=np.int32),
+            scores=np.empty(0, dtype=np.int32),
+            qualities=np.empty(0, dtype=np.uint8),
+            cigars=Cigars.empty(),
+            is_primary=np.empty(0, dtype=bool),
+            is_supplementary=np.empty(0, dtype=bool),
+            is_spliced=np.empty(0, dtype=bool),
+            divergence=np.empty(0, dtype=np.float64),
+            cs=np.empty(0, dtype=object),
+            md=np.empty(0, dtype=object),
+        )
+
+    def to_intervals(self, by_query: bool = False) -> Intervals:
+        starts = self.q_starts if by_query else self.t_starts
+        ends = self.q_ends if by_query else self.t_ends
+        return Intervals(
+            starts=starts,
+            ends=ends,
+            strands=self.strands,
+            original_indices=np.arange(len(self), dtype=np.int32),
+        )
+
+    def is_partial_left(self, edge_tolerance: int = 0) -> npt.NDArray[np.bool_]:
+        return (self.t_starts <= edge_tolerance) & np.where(
+            self.strands == 1, self.q_starts > 0, self.q_ends < self.q_lengths
+        )
+
+    def is_partial_right(self, edge_tolerance: int = 0) -> npt.NDArray[np.bool_]:
+        return (self.t_ends >= self.t_lengths - edge_tolerance) & np.where(
+            self.strands == 1, self.q_ends < self.q_lengths, self.q_starts > 0
+        )
+
+    def is_partial(self, edge_tolerance: int = 0) -> npt.NDArray[np.bool_]:
+        return self.is_partial_left(edge_tolerance) | self.is_partial_right(edge_tolerance)
+
+    @classmethod
+    def from_records(cls, records: Iterable[Alignment]) -> Alignments:
+        records_list = list(records)
+        if not records_list:
+            return cls.empty()
+        q_names_map: dict[str, int] = {}
+        q_names_list: list[str] = []
+        qn_ids: list[int] = []
+        t_names_map: dict[str, int] = {}
+        t_names_list: list[str] = []
+        tn_ids: list[int] = []
+        for r in records_list:
+            if r.q_name not in q_names_map:
+                q_names_map[r.q_name] = len(q_names_list)
+                q_names_list.append(r.q_name)
+            qn_ids.append(q_names_map[r.q_name])
+            if r.t_name not in t_names_map:
+                t_names_map[r.t_name] = len(t_names_list)
+                t_names_list.append(r.t_name)
+            tn_ids.append(t_names_map[r.t_name])
+        return cls(
+            q_name_ids=np.array(qn_ids, dtype=np.int32),
+            q_names_dict=tuple(q_names_list),
+            q_lengths=np.array([r.q_length for r in records_list], dtype=np.int32),
+            q_starts=np.array([r.q_start for r in records_list], dtype=np.int32),
+            q_ends=np.array([r.q_end for r in records_list], dtype=np.int32),
+            t_name_ids=np.array(tn_ids, dtype=np.int32),
+            t_names_dict=tuple(t_names_list),
+            t_lengths=np.array([r.t_length for r in records_list], dtype=np.int32),
+            t_starts=np.array([r.t_start for r in records_list], dtype=np.int32),
+            t_ends=np.array([r.t_end for r in records_list], dtype=np.int32),
+            strands=np.array([r.strand for r in records_list], dtype=np.int8),
+            lengths=np.array([r.length for r in records_list], dtype=np.int32),
+            matches=np.array([r.match for r in records_list], dtype=np.int32),
+            mismatches=np.array([r.mismatch for r in records_list], dtype=np.int32),
+            scores=np.array([r.score for r in records_list], dtype=np.int32),
+            qualities=np.array([r.quality for r in records_list], dtype=np.uint8),
+            cigars=Cigars.from_lists([r.cigar for r in records_list]),
+            is_primary=np.array([r.is_primary for r in records_list], dtype=bool),
+            is_supplementary=np.array([r.is_supplementary for r in records_list], dtype=bool),
+            is_spliced=np.array([r.is_spliced for r in records_list], dtype=bool),
+            divergence=np.array([r.divergence for r in records_list], dtype=np.float64),
+            cs=np.array([r.cs for r in records_list], dtype=object),
+            md=np.array([r.md for r in records_list], dtype=object),
+        )

@@ -1,0 +1,143 @@
+r"""Genome assembly loading, FASTA I/O, and lazy device-encoded contig batches.
+
+Capability parity with ``/root/reference/src/kaptive/core/genome.py``:
+``FastaReader`` (:24-87, backed there by the rammappy Rust parser at :44-46) and
+``GenomeAssembly`` (:90-242) with transparent ``.gz``/``.bz2``/``.xz``
+decompression (:105-106) and a thread-safe lazily-built mapper index
+(:177-191).  Here the lazy index is the TPU minimizer index of
+:mod:`kaptive_tpu.ops.minimizer` instead of a rammappy index, and FASTA parsing
+uses the native C++ ``hostio`` parser when built (``native/hostio.cpp``), with a
+byte-level Python fallback.
+"""
+
+from __future__ import annotations
+
+import threading
+from bz2 import open as bzopen
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field
+from gzip import open as gzopen
+from lzma import open as lzopen
+from pathlib import Path
+from re import compile as re_compile
+from typing import IO, Any, ClassVar, Self
+
+from kaptive_tpu.core.seq import SeqRecord, Sequences
+
+
+def parse_fasta_bytes(data: bytes) -> list[tuple[str, bytes]]:
+    r"""Parse raw FASTA bytes into ``(name, sequence)`` pairs.
+
+    Uses the native C++ parser from :mod:`kaptive_tpu.native` when available,
+    otherwise a C-speed byte-splitting fallback.  Names are truncated at the
+    first whitespace (standard FASTA convention, matching mapper target names).
+    """
+    try:
+        from kaptive_tpu.native import hostio
+
+        return hostio.parse_fasta_bytes(data)
+    except ImportError:
+        pass
+    records: list[tuple[str, bytes]] = []
+    for block in data.split(b">")[1:]:
+        header, _, body = block.partition(b"\n")
+        name = header.split()[0].decode() if header.split() else ""
+        seq = body.replace(b"\n", b"").replace(b"\r", b"")
+        records.append((name, seq))
+    return records
+
+
+class FastaReader(Iterator):  # type: ignore[type-arg]
+    r"""FASTA stream iterator yielding :class:`SeqRecord` (ref ``genome.py:24-87``)."""
+
+    def __init__(self, handle: IO[bytes]) -> None:
+        self._handle = handle
+        self._parsed = parse_fasta_bytes(self._handle.read())
+        self._generator = (SeqRecord(seq=seq, id=name) for name, seq in self._parsed)
+
+    def __enter__(self) -> Self:
+        return self
+
+    def __exit__(self, exc_type: Any, exc_val: Any, exc_tb: Any) -> None:
+        self._handle.close()
+
+    def __del__(self) -> None:
+        try:
+            self._handle.close()
+        except Exception:
+            pass
+
+    def __iter__(self) -> Self:
+        return self
+
+    def __next__(self) -> SeqRecord:
+        return next(self._generator)
+
+
+@dataclass(slots=True, frozen=True)
+class GenomeAssembly:
+    r"""Contig container with transparent decompression and a lazy TPU minimizer index."""
+
+    _SEQUENCE_FILE_REGEX = re_compile(r"\.(?P<ext>f(asta|a|na|fn|as))(\.(?P<compression>gz|bz2|xz))?$")
+    _OPENERS: ClassVar[dict[str, Callable]] = {"gz": gzopen, "bz2": bzopen, "xz": lzopen}  # type: ignore[type-arg]
+    id: str
+    contigs: Sequences
+    id_map: dict[str, int] = field(init=False, repr=False, hash=False, compare=False)
+    minimizer_index: Any = field(default=None, init=False, repr=False, hash=False, compare=False)
+    _index_lock: threading.Lock = field(
+        default_factory=threading.Lock, init=False, repr=False, hash=False, compare=False
+    )
+
+    def __post_init__(self) -> None:
+        object.__setattr__(self, "id_map", {name: i for i, name in enumerate(self.contigs.ids)})
+
+    @classmethod
+    def ensure(cls, genome: Self | str | Path | IO[bytes]) -> Self:
+        if isinstance(genome, cls):
+            return genome
+        if isinstance(genome, (str, Path)):
+            return cls.from_file(genome)
+        return cls.from_stream(genome)  # type: ignore[arg-type]
+
+    def __len__(self) -> int:
+        return len(self.contigs.seqs)
+
+    def __iter__(self) -> Iterator[SeqRecord]:
+        return iter(self.contigs)
+
+    def __str__(self) -> str:
+        return self.id
+
+    def __getitem__(self, item: str) -> bytes:
+        idx = self.id_map[item]
+        offset_val = self.contigs.offsets[idx]
+        length_val = self.contigs.lengths[idx]
+        return self.contigs.seqs[offset_val : offset_val + length_val].tobytes()
+
+    def get_minimizer_index(self) -> Any:
+        r"""Lazily build and cache the TPU contig minimizer index (ref lazy rammappy index ``genome.py:177-191``)."""
+        if self.minimizer_index is None:
+            with self._index_lock:
+                if self.minimizer_index is None:
+                    from kaptive_tpu.ops.minimizer import ContigIndex
+
+                    idx = ContigIndex.build(self.contigs)
+                    object.__setattr__(self, "minimizer_index", idx)
+        return self.minimizer_index
+
+    @classmethod
+    def from_file(cls, filepath: str | Path) -> Self:
+        filepath = Path(filepath)
+        if not (m := cls._SEQUENCE_FILE_REGEX.search(filepath.name)):
+            raise NotImplementedError(f"Unsupported format: {filepath}")
+        with cls._OPENERS.get(m.group("compression"), open)(filepath, mode="rb") as handle:
+            return cls.from_stream(handle, filepath.name.removesuffix(m.group()))
+
+    @classmethod
+    def from_stream(cls, handle: IO[bytes], id_: str | None = None) -> Self:
+        with FastaReader(handle) as records:
+            return cls.from_records(id_ or getattr(handle, "name", "unknown"), records)
+
+    @classmethod
+    def from_records(cls, id_: str, records: Iterable[SeqRecord]) -> Self:
+        return cls(id_, Sequences.from_records(list(records)))
