@@ -1,0 +1,346 @@
+r"""TPU-native gene-to-assembly nucleotide mapper: seed, chain, extend.
+
+This replaces the reference's wrapped Rust ``rammappy`` (minimap2-class)
+mapper invocation (``/root/reference/src/kaptive/serotyping/core.py:147-155``:
+``Aligner(index=..., do_cigar=True)`` with dense all-hits options
+``best_n=50000, pri_ratio=0.0``, consumed at ``core/alignment.py:391-474``).
+It produces the same logical output per hit — query/target coordinates,
+strand, matches, edit distance, score, mapq, primary flag — as flat SoA arrays
+ready for :meth:`kaptive_tpu.core.alignment.Alignments.from_arrays`.
+
+Pipeline (per assembly):
+
+1. **Seed**: contig minimizers (device scan, :mod:`kaptive_tpu.ops.minimizer`)
+   are looked up in the *static, hash-sorted DB gene minimizer table* (built
+   once at DB pack time) — flipping the reference's per-genome contig index so
+   the per-assembly work is pure streaming hash + binary search.  Anchors are
+   (gene, gene_pos, contig, contig_pos, relative strand).
+2. **Chain**: anchors are grouped by (gene, contig, strand) and single-linkage
+   clustered on the alignment diagonal (``t_pos - q_pos`` forward,
+   ``t_pos + q_pos`` reverse) with gap/diagonal-drift tolerances — one
+   vectorised lexsort + prefix scan, no per-anchor Python.
+3. **Extend**: each chain becomes one banded SWG problem — full gene (reverse-
+   complemented for minus-strand chains) against a contig window projected
+   from the chain, band sized to the chain's diagonal spread — batched through
+   the same device DP kernel as the protein stage
+   (:func:`kaptive_tpu.ops.swg.banded_swg`).
+
+Dense-hits semantics: every chain above a small anchor threshold is extended
+and reported (no per-query best-N pruning), mirroring the reference's
+``best_n=50000, pri_ratio=0.0`` configuration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from kaptive_tpu.core.alignment import Alignments
+from kaptive_tpu.core.collections import ragged_gather_indices
+from kaptive_tpu.core.genome import GenomeAssembly
+from kaptive_tpu.core.seq import Sequences
+from kaptive_tpu.ops.minimizer import (
+    DEFAULT_K,
+    DEFAULT_W,
+    ContigIndex,
+    MinimizerSet,
+    build_minimizer_set,
+    concat_with_sentinels,
+    encode_dna,
+)
+
+# Nucleotide scoring (minimap2-class defaults: match 2, mismatch -4, gap 4+2/base).
+NT_MATCH = 2
+NT_MISMATCH = -4
+NT_GAP_OPEN = 4
+NT_GAP_EXTEND = 2
+
+_NT_MATRIX = np.full((256, 256), NT_MISMATCH, dtype=np.int32)
+for _b in range(4):
+    _NT_MATRIX[_b, _b] = NT_MATCH
+_NT_MATRIX.flags.writeable = False
+
+
+@dataclass(frozen=True, slots=True)
+class GeneIndex:
+    r"""Static, device-friendly index of the DB gene set (built once at pack time)."""
+
+    minimizers: MinimizerSet  # hash-sorted over all genes
+    codes: np.ndarray  # flat encoded gene sequences (with sentinels)
+    starts: np.ndarray  # (n_genes,) start within codes
+    lengths: np.ndarray  # (n_genes,)
+    k: int
+    w: int
+
+    @classmethod
+    def build(cls, genes: Sequences, k: int = DEFAULT_K, w: int = DEFAULT_W) -> "GeneIndex":
+        codes = encode_dna(genes.seqs)
+        flat, starts = concat_with_sentinels(codes, genes.offsets, genes.lengths, k)
+        mins = build_minimizer_set(genes, k=k, w=w, sort=True)
+        return cls(mins, flat, starts, genes.lengths.astype(np.int64), k, w)
+
+
+@dataclass(frozen=True, slots=True)
+class MapperParams:
+    r"""Tunables for the seed-chain-extend pipeline."""
+
+    min_anchors: int = 2  # chains with fewer anchors are dropped
+    max_diag_drift: int = 100  # single-linkage diagonal tolerance within a chain
+    max_anchor_gap: int = 2000  # positional gap tolerance within a chain
+    band_slack: int = 48  # extra half-band beyond the chain's diagonal spread
+    window_pad: int = 64  # extra target window around the projected gene span
+    min_score: int = 30  # discard extensions below this SW score
+    max_occ: int = 1024  # per-contig-minimizer occurrence cap in the gene table
+
+
+def find_anchors(gene_index: GeneIndex, contig_mins: MinimizerSet, params: MapperParams):
+    r"""Match contig minimizers against the sorted gene table -> anchor arrays."""
+    h = contig_mins.hashes
+    lo = np.searchsorted(gene_index.minimizers.hashes, h, side="left")
+    hi = np.searchsorted(gene_index.minimizers.hashes, h, side="right")
+    counts = np.minimum(hi - lo, params.max_occ)
+    if counts.sum() == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, z, z
+    flat_idx, _, out_lengths = ragged_gather_indices(lo, counts)
+    rep = np.repeat(np.arange(len(h)), out_lengths)
+
+    g_idx = gene_index.minimizers.seq_indices[flat_idx].astype(np.int64)
+    g_pos = gene_index.minimizers.positions[flat_idx].astype(np.int64)
+    g_strand = gene_index.minimizers.strands[flat_idx]
+    c_idx = contig_mins.seq_indices[rep].astype(np.int64)
+    c_pos = contig_mins.positions[rep].astype(np.int64)
+    c_strand = contig_mins.strands[rep]
+
+    rel_strand = np.where(g_strand == c_strand, 1, -1).astype(np.int64)
+    return g_idx, g_pos, c_idx, c_pos, rel_strand
+
+
+def chain_anchors(
+    g_idx: np.ndarray,
+    g_pos: np.ndarray,
+    c_idx: np.ndarray,
+    c_pos: np.ndarray,
+    rel_strand: np.ndarray,
+    gene_lengths: np.ndarray,
+    k: int,
+    params: MapperParams,
+):
+    r"""Vectorised single-linkage chaining on the alignment diagonal.
+
+    For minus-strand anchors the gene coordinate is flipped to the
+    reverse-complement frame (``q' = gene_len - k - q``) so both strands chain
+    on ``diag = t_pos - q'``.
+    """
+    n = len(g_idx)
+    if n == 0:
+        return {}
+    glen = gene_lengths[g_idx]
+    q_prime = np.where(rel_strand > 0, g_pos, glen - k - g_pos)
+    diag = c_pos - q_prime
+
+    order = np.lexsort((c_pos, diag, rel_strand, c_idx, g_idx))
+    gs, qs, cs, ts, ss, ds = (
+        g_idx[order], q_prime[order], c_idx[order], c_pos[order], rel_strand[order], diag[order]
+    )
+    new_group = np.empty(n, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1]) | (ss[1:] != ss[:-1])
+    brk = new_group.copy()
+    brk[1:] |= (ds[1:] - ds[:-1]) > params.max_diag_drift
+    brk[1:] |= np.abs(ts[1:] - ts[:-1]) > params.max_anchor_gap
+    chain_ids = np.cumsum(brk) - 1
+    n_chains = chain_ids[-1] + 1
+
+    def seg_reduce(vals, fn, init):
+        out = np.full(n_chains, init, dtype=np.int64)
+        fn.at(out, chain_ids, vals)
+        return out
+
+    c_gene = np.zeros(n_chains, dtype=np.int64)
+    c_ctg = np.zeros(n_chains, dtype=np.int64)
+    c_strand = np.zeros(n_chains, dtype=np.int64)
+    first_of_chain = np.flatnonzero(brk)
+    c_gene = gs[first_of_chain]
+    c_ctg = cs[first_of_chain]
+    c_strand = ss[first_of_chain]
+    c_count = np.bincount(chain_ids, minlength=n_chains)
+    c_tmin = seg_reduce(ts, np.minimum, np.iinfo(np.int64).max)
+    c_tmax = seg_reduce(ts, np.maximum, np.iinfo(np.int64).min)
+    c_qmin = seg_reduce(qs, np.minimum, np.iinfo(np.int64).max)
+    c_qmax = seg_reduce(qs, np.maximum, np.iinfo(np.int64).min)
+    c_dmin = seg_reduce(ds, np.minimum, np.iinfo(np.int64).max)
+    c_dmax = seg_reduce(ds, np.maximum, np.iinfo(np.int64).min)
+
+    keep = c_count >= params.min_anchors
+    return {
+        "gene": c_gene[keep], "ctg": c_ctg[keep], "strand": c_strand[keep],
+        "count": c_count[keep], "t_min": c_tmin[keep], "t_max": c_tmax[keep],
+        "q_min": c_qmin[keep], "q_max": c_qmax[keep],
+        "d_min": c_dmin[keep], "d_max": c_dmax[keep],
+    }
+
+
+def extend_chains(
+    chains: dict,
+    gene_index: GeneIndex,
+    contig_index: ContigIndex,
+    params: MapperParams,
+):
+    r"""Project chains to DP problems and run the batched banded SWG kernel."""
+    from kaptive_tpu.core.pairwise import batched_swg_align
+
+    n = len(chains["gene"])
+    if n == 0:
+        return None
+
+    k = gene_index.k
+    glen = gene_index.lengths[chains["gene"]]
+    clen = contig_index.lengths[chains["ctg"]]
+
+    # Project the full gene onto the contig along the chain diagonals.
+    t_lo = np.maximum(chains["t_min"] - chains["q_min"] - params.window_pad, 0)
+    t_hi = np.minimum(
+        chains["t_max"] + k + (glen - chains["q_max"] - k) + params.window_pad, clen
+    )
+    t_len = (t_hi - t_lo).astype(np.int64)
+
+    # Band geometry in DP coordinates (q_pos - window_t_pos).
+    d_mid = (chains["d_min"] + chains["d_max"]) // 2
+    offsets = -(d_mid - t_lo)  # kernel offset convention: q_pos - t_pos
+    k_locals = (chains["d_max"] - chains["d_min"]) // 2 + params.band_slack
+
+    # Build ragged query (gene codes, revcomp for minus chains) and target windows.
+    q_starts = gene_index.starts[chains["gene"]]
+    fwd = chains["strand"] > 0
+    base = np.where(fwd, q_starts, q_starts + glen - 1)
+    steps = np.where(fwd, 1, -1)
+    flat_idx, q_offsets, q_lengths = ragged_gather_indices(base, glen, steps)
+    q_codes = gene_index.codes[flat_idx].astype(np.uint8)
+    comp = np.repeat(~fwd, q_lengths)
+    q_codes = np.where(comp & (q_codes < 4), 3 - q_codes, q_codes).astype(np.uint8)
+
+    t_base = contig_index.starts[chains["ctg"]] + t_lo
+    t_flat_idx, t_offsets, t_lengths = ragged_gather_indices(t_base, t_len)
+    t_codes = contig_index.codes[t_flat_idx].astype(np.uint8)
+
+    res = batched_swg_align(
+        q_codes, q_offsets, q_lengths.astype(np.int32),
+        t_codes, t_offsets, t_lengths.astype(np.int32),
+        offsets.astype(np.int32), k_locals.astype(np.int32),
+        matrix=_NT_MATRIX, gap_open=NT_GAP_OPEN, gap_extend=NT_GAP_EXTEND,
+    )
+    return res, t_lo, glen
+
+
+def map_genes(
+    gene_index: GeneIndex,
+    genome: GenomeAssembly,
+    gene_names: tuple[str, ...],
+    params: MapperParams | None = None,
+) -> Alignments:
+    r"""Map every DB gene against the assembly's contigs (dense all-hits mode).
+
+    Returns an :class:`Alignments` batch with q_names = gene indices as strings
+    (matching the reference's convention of stringified DB gene indices,
+    ``serotyping/core.py:111-122``) and t_names = contig names.
+    """
+    params = params or MapperParams()
+    contig_index: ContigIndex = genome.get_minimizer_index()
+    contig_mins = contig_index.minimizers
+
+    g_idx, g_pos, c_idx, c_pos, rel_strand = find_anchors(gene_index, contig_mins, params)
+    chains = chain_anchors(
+        g_idx, g_pos, c_idx, c_pos, rel_strand, gene_index.lengths, gene_index.k, params
+    )
+    if not chains or len(chains["gene"]) == 0:
+        return Alignments.empty()
+
+    ext = extend_chains(chains, gene_index, contig_index, params)
+    if ext is None:
+        return Alignments.empty()
+    res, t_lo, glen = ext
+
+    keep = np.asarray(res.scores) >= params.min_score
+    # Also require non-empty alignment spans.
+    keep &= np.asarray(res.q_ends) > np.asarray(res.q_starts)
+    if not keep.any():
+        return Alignments.empty()
+
+    gene = chains["gene"][keep]
+    ctg = chains["ctg"][keep]
+    strand = chains["strand"][keep]
+    gl = glen[keep]
+    scores = np.asarray(res.scores)[keep]
+    matches = np.asarray(res.matches)[keep]
+    mismatches = np.asarray(res.mismatches)[keep]
+    gaps = np.asarray(res.gaps)[keep]
+    qs_dp = np.asarray(res.q_starts)[keep].astype(np.int64)
+    qe_dp = np.asarray(res.q_ends)[keep].astype(np.int64)
+    ts_dp = np.asarray(res.t_starts)[keep].astype(np.int64)
+    te_dp = np.asarray(res.t_ends)[keep].astype(np.int64)
+    t_lo_k = t_lo[keep]
+
+    # Map DP coordinates back: minus-strand queries were reverse-complemented.
+    fwd = strand > 0
+    q_start = np.where(fwd, qs_dp, gl - qe_dp)
+    q_end = np.where(fwd, qe_dp, gl - qs_dp)
+    t_start = t_lo_k + ts_dp
+    t_end = t_lo_k + te_dp
+
+    # Deduplicate identical (gene, ctg, strand, t interval) hits, keeping best score.
+    dedup_key = np.lexsort((-scores, t_end, t_start, strand, ctg, gene))
+    gk, ck, sk = gene[dedup_key], ctg[dedup_key], strand[dedup_key]
+    tsk, tek = t_start[dedup_key], t_end[dedup_key]
+    uniq = np.empty(len(dedup_key), dtype=bool)
+    uniq[0] = True
+    uniq[1:] = (
+        (gk[1:] != gk[:-1]) | (ck[1:] != ck[:-1]) | (sk[1:] != sk[:-1])
+        | (tsk[1:] != tsk[:-1]) | (tek[1:] != tek[:-1])
+    )
+    sel = np.sort(dedup_key[uniq])
+
+    gene, ctg, strand = gene[sel], ctg[sel], strand[sel]
+    scores, matches, mismatches, gaps = scores[sel], matches[sel], mismatches[sel], gaps[sel]
+    q_start, q_end, t_start, t_end = q_start[sel], q_end[sel], t_start[sel], t_end[sel]
+    gl = gl[sel]
+
+    # Primary flag + mapq: per gene, the top-scoring hit is primary; mapq scales
+    # with the score margin over the runner-up (tie-break only downstream).
+    n = len(gene)
+    order = np.lexsort((-scores, gene))
+    is_primary = np.zeros(n, dtype=bool)
+    first = np.empty(len(order), dtype=bool)
+    first[0] = True
+    first[1:] = gene[order][1:] != gene[order][:-1]
+    is_primary[order[first]] = True
+    best_per_gene = np.zeros(int(gene.max()) + 1, dtype=np.int64)
+    second_per_gene = np.zeros(int(gene.max()) + 1, dtype=np.int64)
+    np.maximum.at(best_per_gene, gene, scores)
+    not_best = scores < best_per_gene[gene]
+    np.maximum.at(second_per_gene, gene[not_best], scores[not_best])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(best_per_gene[gene] > 0, second_per_gene[gene] / np.maximum(best_per_gene[gene], 1), 0.0)
+    mapq = np.where(is_primary, np.clip(60.0 * (1.0 - ratio), 0, 60), 0).astype(np.uint8)
+
+    edit_distance = mismatches + gaps
+    return Alignments.from_arrays(
+        q_name_ids=gene.astype(np.int32),
+        q_names_dict=gene_names,
+        q_lengths=gl.astype(np.int32),
+        q_starts=q_start.astype(np.int32),
+        q_ends=q_end.astype(np.int32),
+        t_name_ids=ctg.astype(np.int32),
+        t_names_dict=genome.contigs.ids,
+        t_lengths=contig_index.lengths[ctg].astype(np.int32),
+        t_starts=t_start.astype(np.int32),
+        t_ends=t_end.astype(np.int32),
+        strands=strand.astype(np.int8),
+        matches=matches,
+        edit_distances=edit_distance,
+        scores=scores,
+        qualities=mapq,
+        block_lengths=np.maximum(q_end - q_start, t_end - t_start).astype(np.int32),
+        is_primary=is_primary,
+    )

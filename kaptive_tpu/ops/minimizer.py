@@ -1,0 +1,192 @@
+r"""Minimizer extraction on device: 2-bit k-mer packing, canonical hashing, window minimum.
+
+TPU-native replacement for the indexing half of the reference's wrapped
+``rammappy`` (minimap2-class) mapper (``/root/reference/src/kaptive/core/genome.py:177-191``,
+``serotyping/core.py:147-155``) and kin to the reference's own sketching
+kernels (``core/kmers.py:822-1155``): rolling 2-bit packed k-mers, canonical
+(min of forward/revcomp) representation, an invertible 32-bit integer mixer
+(murmur3 finalizer — 64-bit integers are emulated on TPU, so hashing is 32-bit
+by design; k=15 packs into 30 bits), and a ``w``-window minimum.
+
+Everything is expressed as fixed-shape vector ops over a single flat code
+array (contigs concatenated with ``k-1`` sentinel codes between them so k-mers
+never span contigs): ``k`` shifted adds build forward/reverse packed k-mers,
+``w`` shifted mins select window minima, a masked scatter marks minimizer
+positions.  XLA fuses the whole pipeline into a few elementwise loops — this
+is bandwidth-bound streaming work the VPU excels at.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kaptive_tpu.core.seq import Sequences
+
+# DNA byte -> 2-bit code LUT (A=0 C=1 G=2 T/U=3, else 4). Complement = 3-code.
+DNA_CODE_LUT = np.full(256, 4, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    DNA_CODE_LUT[_c] = _i
+    DNA_CODE_LUT[_c + 32] = _i
+DNA_CODE_LUT[ord("U")] = 3
+DNA_CODE_LUT[ord("u")] = 3
+DNA_CODE_LUT.flags.writeable = False
+
+SENTINEL = 4  # invalid base code
+UINT32_MAX = np.uint32(0xFFFFFFFF)
+
+DEFAULT_K = 15
+DEFAULT_W = 10
+
+
+def encode_dna(seqs: np.ndarray) -> np.ndarray:
+    r"""Host-side byte->2-bit encoding (device path takes the code array)."""
+    return DNA_CODE_LUT[seqs]
+
+
+def concat_with_sentinels(
+    codes: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    r"""Concatenate per-sequence code arrays with ``k-1`` sentinels between them.
+
+    Returns (flat_codes, seq_starts) where ``seq_starts[i]`` is the position of
+    sequence ``i`` within the flat array.
+    """
+    n = len(offsets)
+    gap = k - 1
+    total = int(lengths.sum()) + gap * max(n - 1, 0)
+    flat = np.full(total, SENTINEL, dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    pos = 0
+    for i in range(n):
+        ln = int(lengths[i])
+        starts[i] = pos
+        flat[pos : pos + ln] = codes[offsets[i] : offsets[i] + ln]
+        pos += ln + gap
+    return flat, starts
+
+
+def _mix32(x: jax.Array) -> jax.Array:
+    r"""murmur3 32-bit finalizer — invertible avalanche mixer."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w"))
+def minimizer_scan(codes: jax.Array, k: int = DEFAULT_K, w: int = DEFAULT_W):
+    r"""Compute minimizer selection over a flat code array.
+
+    Args:
+        codes: (L,) uint8/int32 base codes (0-3 valid, >=4 sentinel).
+
+    Returns:
+        (selected, hashes, strands):
+        ``selected`` (L,) bool — position starts a selected minimizer k-mer;
+        ``hashes`` (L,) uint32 — canonical k-mer hash at each position
+        (UINT32_MAX where invalid); ``strands`` (L,) bool — True when the
+        forward packing was the canonical one.
+    """
+    L = codes.shape[0]
+    c = codes.astype(jnp.uint32)
+    bad = (c >= SENTINEL).astype(jnp.int32)
+
+    # Packed forward/reverse k-mers via k shifted adds (static unroll).
+    fwd = jnp.zeros(L, dtype=jnp.uint32)
+    rev = jnp.zeros(L, dtype=jnp.uint32)
+    badsum = jnp.zeros(L, dtype=jnp.int32)
+    for j in range(k):
+        cj = jnp.roll(c, -j)  # codes[i + j]
+        fwd = fwd | (cj << jnp.uint32(2 * (k - 1 - j)))
+        rev = rev | ((jnp.uint32(3) - cj) << jnp.uint32(2 * j))
+        badsum = badsum + jnp.roll(bad, -j)
+    valid = (badsum == 0) & (jnp.arange(L) < L - k + 1)
+
+    canonical = jnp.minimum(fwd, rev)
+    strands = fwd <= rev
+    hashes = jnp.where(valid, _mix32(canonical), UINT32_MAX)
+
+    # Window minimum over w consecutive k-mer starts; leftmost-on-tie.
+    best = hashes
+    best_pos = jnp.arange(L, dtype=jnp.int32)
+    for j in range(1, w):
+        cand = jnp.roll(hashes, -j)
+        cand_pos = jnp.arange(L, dtype=jnp.int32) + j
+        take = cand < best
+        best = jnp.where(take, cand, best)
+        best_pos = jnp.where(take, cand_pos, best_pos)
+    window_valid = (best != UINT32_MAX) & (jnp.arange(L) < L - k - w + 2)
+
+    scatter_idx = jnp.where(window_valid, best_pos, L)
+    selected = jnp.zeros(L, dtype=jnp.bool_).at[scatter_idx].set(True, mode="drop")
+    selected = selected & valid
+    return selected, hashes, strands
+
+
+@dataclass(frozen=True, slots=True)
+class MinimizerSet:
+    r"""Compacted minimizers of a sequence batch, with a sorted lookup table."""
+
+    hashes: np.ndarray  # (N,) uint32, sorted ascending
+    seq_indices: np.ndarray  # (N,) int32
+    positions: np.ndarray  # (N,) int32 position within the sequence
+    strands: np.ndarray  # (N,) bool — forward packing was canonical
+    n_seqs: int
+    k: int
+    w: int
+
+
+def build_minimizer_set(
+    seqs: Sequences, k: int = DEFAULT_K, w: int = DEFAULT_W, sort: bool = True
+) -> MinimizerSet:
+    r"""Extract and (optionally) hash-sort minimizers for a ragged sequence batch."""
+    if len(seqs) == 0 or len(seqs.seqs) == 0:
+        e = np.empty(0)
+        return MinimizerSet(
+            e.astype(np.uint32), e.astype(np.int32), e.astype(np.int32), e.astype(bool), 0, k, w
+        )
+    codes = encode_dna(seqs.seqs)
+    flat, starts = concat_with_sentinels(codes, seqs.offsets, seqs.lengths, k)
+    sel, hashes, strands = jax.tree.map(np.asarray, minimizer_scan(jnp.asarray(flat), k, w))
+    pos = np.flatnonzero(sel)
+    h = hashes[pos]
+    st = strands[pos]
+    # Map flat positions back to (seq, local pos).
+    seq_idx = np.searchsorted(starts, pos, side="right").astype(np.int32) - 1
+    local = (pos - starts[seq_idx]).astype(np.int32)
+    if sort:
+        order = np.argsort(h, kind="stable")
+        h, seq_idx, local, st = h[order], seq_idx[order], local[order], st[order]
+    return MinimizerSet(h.astype(np.uint32), seq_idx, local, st.astype(bool), len(seqs), k, w)
+
+
+@dataclass(frozen=True, slots=True)
+class ContigIndex:
+    r"""Per-assembly mapping index: encoded contigs + their minimizers.
+
+    The TPU-native stand-in for the reference's lazily-built rammappy index
+    (``genome.py:177-191``): holds the flat 2-bit encoding (for extension
+    windows) and the contig minimizer set (for seeding against the static DB
+    gene minimizer table).
+    """
+
+    codes: np.ndarray  # flat encoded contigs (with sentinels)
+    starts: np.ndarray  # (n_contigs,) start of each contig within codes
+    lengths: np.ndarray  # (n_contigs,)
+    minimizers: MinimizerSet
+    k: int
+    w: int
+
+    @classmethod
+    def build(cls, contigs: Sequences, k: int = DEFAULT_K, w: int = DEFAULT_W) -> "ContigIndex":
+        codes = encode_dna(contigs.seqs)
+        flat, starts = concat_with_sentinels(codes, contigs.offsets, contigs.lengths, k)
+        mins = build_minimizer_set(contigs, k=k, w=w, sort=False)
+        return cls(flat, starts, contigs.lengths.astype(np.int64), mins, k, w)
