@@ -1,0 +1,195 @@
+r"""CLI commands for serotyping: ``type`` and ``convert`` plus the output writer pipeline.
+
+Capability parity with ``/root/reference/src/kaptive/serotyping/cli.py``:
+``ResultExporter`` (:20-114) binding TSV / PHA4GE / JSONL / per-assembly FASTA
+(fna/ffn/faa) / HTML plot writers once, ``Type`` (:118-210) with the
+confidence and other-options flags, and ``Convert`` (:214-267) re-exporting
+serialised JSONL without recompute.  JSON writing uses the stdlib encoder with
+numpy coercion (the reference uses orjson's OPT_SERIALIZE_NUMPY; byte content
+of each line is equivalent JSON).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Any
+
+import numpy as np
+
+from kaptive_tpu.cli import Cli, Colors, Command
+
+
+def _json_default(o: Any):
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, (np.integer, np.floating, np.bool_)):
+        return o.item()
+    if isinstance(o, bytes):
+        return o.decode("utf-8")
+    if hasattr(o, "value"):  # IntFlag / IntEnum
+        return int(o)
+    raise TypeError(f"Cannot serialise {type(o)}")
+
+
+def result_to_jsonl_bytes(result: Any) -> bytes:
+    r"""One JSONL line for a result (compact separators, trailing newline)."""
+    return json.dumps(result.to_dict(), default=_json_default, separators=(",", ":")).encode() + b"\n"
+
+
+class ResultExporter:
+    r"""Evaluates output flags once and builds the writer pipeline."""
+
+    file_suffix = "kaptive_results"
+
+    def __init__(self, cli: Cli, args: argparse.Namespace) -> None:
+        self.writers = []
+
+        if tsv_file := getattr(args, "out", getattr(args, "tsv", None)):
+            from kaptive_tpu.serotyping import KaptiveRow
+
+            tsv_handle = cli.open_file(tsv_file, mode="wb")
+            tsv_handle.write(KaptiveRow.header())
+            self.writers.append(lambda r: tsv_handle.write(bytes(KaptiveRow.from_result(r))))
+
+        if pha4ge_file := getattr(args, "pha4ge", None):
+            from kaptive_tpu.serotyping import Pha4geRow
+
+            pha4ge_handle = cli.open_file(str(pha4ge_file), mode="wb")
+            pha4ge_handle.write(Pha4geRow.header())
+            self.writers.append(lambda r: pha4ge_handle.write(bytes(Pha4geRow.from_result(r))))
+
+        if json_file := getattr(args, "json", None):
+            json_handle = cli.open_file(json_file, mode="wb")
+            self.writers.append(lambda r: json_handle.write(result_to_jsonl_bytes(r)))
+
+        if loci_dir := getattr(args, "loci", None):
+            self.writers.append(
+                lambda r: (loci_dir / f"{r.genome}_{self.file_suffix}.fna").write_bytes(
+                    r.locus_seqs.to_fasta()
+                )
+            )
+
+        if genes_dir := getattr(args, "genes", None):
+            self.writers.append(
+                lambda r: (genes_dir / f"{r.genome}_{self.file_suffix}.ffn").write_bytes(
+                    r.gene_seqs.to_fasta()
+                )
+            )
+
+        if proteins_dir := getattr(args, "proteins", None):
+            self.writers.append(
+                lambda r: (proteins_dir / f"{r.genome}_{self.file_suffix}.faa").write_bytes(
+                    r.translations.to_fasta()
+                )
+            )
+
+        if plot_dir := getattr(args, "plots", None):
+            from kaptive_tpu.plotting import SerotypingResultPlotter
+
+            plotter = SerotypingResultPlotter()
+            self.writers.append(
+                lambda r: plotter(r).write_html(plot_dir / f"{r.genome}_{self.file_suffix}.html")
+            )
+
+    def __call__(self, result: Any) -> None:
+        for write in self.writers:
+            write(result)
+
+
+class Type(Command):
+    r"""💉 In silico serotyping of genome assemblies.
+
+    Aliases:
+        assembly
+    """
+
+    aliases = ["assembly"]
+
+    def setup_arguments(self) -> None:
+        opts = self.parser.add_argument_group(Colors.wrap("📥 Inputs", Colors.BOLD))
+        opts.add_argument("database", help="Database path or keyword (see: `kaptive-tpu db list`)")
+        opts.add_argument(
+            "genomes", nargs="+", help="Genome assemblies in fasta format; can be compressed"
+        )
+
+        opts = self.parser.add_argument_group(Colors.wrap("📤 Outputs", Colors.BOLD))
+        self.add_output_arguments(opts, tsv_flags=("-o", "--out"), include_json=True)
+
+        opts = self.parser.add_argument_group(Colors.wrap("🔬 Confidence options", Colors.BOLD))
+        opts.add_argument(
+            "--max-other-genes", type=int, metavar="", default=1,
+            help="Typeable if <= other genes (default: %(default)s)",
+        )
+        opts.add_argument(
+            "--min-completeness", type=float, metavar="", default=0.5,
+            help="Typeable if >= completeness (default: %(default)s)",
+        )
+        opts.add_argument(
+            "--below-threshold", action="store_true",
+            help="Typeable if any genes in locus are below threshold (default: False)",
+        )
+
+        opts = self.parser.add_argument_group(Colors.wrap("🔧 Other options", Colors.BOLD))
+        opts.add_argument(
+            "-t", "--threads", type=int, default=0, metavar="",
+            help="Number threads or 0 for all available (default: 0)",
+        )
+        opts.add_argument(
+            "--partial-edge-tolerance", type=int, default=5, metavar="",
+            help="Tolerance in bases from contig edge to call a partial gene (default: %(default)s)",
+        )
+        opts.add_argument(
+            "--batch-size", type=int, default=0, metavar="",
+            help="Assemblies typed per device batch; 0 = auto (default: %(default)s)",
+        )
+
+    def __call__(self, args: argparse.Namespace) -> None:
+        self.cli.msg(f"💽 Loading database {args.database}...")
+        from kaptive_tpu.db import DatabaseManager
+        from kaptive_tpu.serotyping import Serotyper
+
+        db = DatabaseManager.get(args.database)
+        exporter = ResultExporter(self.cli, args)
+
+        serotyper = Serotyper(
+            db=db,
+            max_other_genes=args.max_other_genes,
+            min_completeness=args.min_completeness,
+            allow_below_threshold=args.below_threshold,
+            partial_edge_tolerance=args.partial_edge_tolerance,
+        )
+        for genome in self.cli.progress(args.genomes, "💉 Serotyping genomes..."):
+            if result := serotyper(genome):
+                exporter(result)
+
+        self.cli.msg(f"✅ Serotyping complete. Results written to '{args.out}'.")
+
+
+class Convert(Command):
+    r"""🔄 Convert serialized Kaptive results into different formats.
+
+    Reads serialized JSON-lines serotyping output records and converts them into tabular
+    TSV, PHA4GE TSV, or sequence FASTA files without re-running the serotyping pipeline.
+    """
+
+    def setup_arguments(self) -> None:
+        opts = self.parser.add_argument_group(Colors.wrap("📥 Inputs", Colors.BOLD))
+        opts.add_argument(
+            "jsonl", default="stdin", help="Serialised results in JSON-lines format (default: stdin)"
+        )
+        opts = self.parser.add_argument_group(Colors.wrap("📤 Outputs", Colors.BOLD))
+        self.add_output_arguments(opts, tsv_flags=("-t", "--tsv"), include_json=False)
+
+    def __call__(self, args: argparse.Namespace) -> None:
+        from kaptive_tpu.serotyping import SerotypingResult
+
+        exporter = ResultExporter(self.cli, args)
+        handle = self.cli.open_file(args.jsonl, mode="rb")
+        for line in self.cli.progress(handle, "💱 Converting results..."):
+            line = line.strip()
+            if not line:
+                continue
+            result = SerotypingResult.from_dict(json.loads(line))
+            exporter(result)
+        self.cli.msg("✅ Conversion complete.")
