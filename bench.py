@@ -1,0 +1,117 @@
+"""Benchmark: assemblies typed per second per chip (KpSC-K-scale workload).
+
+Builds a synthetic database at kpsc_k scale (~140 loci x ~18 genes, genes
+0.2-2.5 kb) and synthetic 5.3 Mb single-contig assemblies each containing one
+locus (clean or lightly mutated), then times the full typing pipeline
+(FASTA-equivalent ingest -> device minimizer mapping -> scoring ->
+reconstruction -> protein DP -> phenotype -> result) end to end.
+
+Baseline anchor: reference Kaptive 3 is CPU-only and its Rust deps are not
+installable here; its paper claims "thousands of assemblies on a desktop
+computer" for batch runs, i.e. order 1 assembly/sec/machine
+(/root/reference/README.md:61).  ``vs_baseline`` is measured throughput over
+that 1.0 asm/s anchor.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import pickle
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+sys.path.insert(0, str(Path(__file__).parent / "tests"))
+
+import numpy as np
+
+CACHE = Path(os.environ.get("KAPTIVE_TPU_BENCH_CACHE", "/tmp/kaptive_tpu_bench"))
+N_ASSEMBLIES = int(os.environ.get("KAPTIVE_TPU_BENCH_N", "16"))
+GENOME_MB = 5.3
+BASELINE_ASM_PER_SEC = 1.0
+
+
+def build_fixtures():
+    from synthetic import make_synthetic_db, mutate_dna, random_dna
+
+    from kaptive_tpu.db import Database
+
+    CACHE.mkdir(parents=True, exist_ok=True)
+    db_pkl = CACHE / "bench_db.pkl"
+    asm_pkl = CACHE / "bench_assemblies.pkl"
+    rng = np.random.default_rng(2026)
+    if db_pkl.exists() and asm_pkl.exists():
+        db = Database.from_pickle(db_pkl)
+        with asm_pkl.open("rb") as fh:
+            assemblies = pickle.load(fh)
+        return db, assemblies
+
+    gbk, truth = make_synthetic_db(
+        CACHE, rng, n_loci=140, genes_per_locus=18, name="BenchDB", keyword="bench_db"
+    )
+    db = Database.from_genbank(gbk)
+    db.save(db_pkl)
+
+    locus_names = list(truth["loci"].keys())
+    assemblies = []
+    flank = int(GENOME_MB * 1e6 / 2)
+    for i in range(N_ASSEMBLIES):
+        ln = locus_names[rng.integers(0, len(locus_names))]
+        locus = truth["loci"][ln]["seq"]
+        if i % 3 == 1:
+            locus = mutate_dna(rng, locus, sub_rate=0.01)
+        contig = random_dna(rng, flank) + locus + random_dna(rng, flank)
+        assemblies.append((f"asm{i}", ln, contig))
+    with asm_pkl.open("wb") as fh:
+        pickle.dump(assemblies, fh)
+    return db, assemblies
+
+
+def main() -> None:
+    import io
+
+    from kaptive_tpu.core.genome import GenomeAssembly
+    from kaptive_tpu.serotyping import Serotyper
+
+    db, assemblies = build_fixtures()
+    serotyper = Serotyper(db)
+
+    def make_ga(name, contig):
+        return GenomeAssembly.from_stream(io.BytesIO(b">c1\n%s\n" % contig), name)
+
+    # Warm-up: compiles the device kernels (minimizer scan, SWG buckets).
+    warm = make_ga("warm", assemblies[0][2])
+    res = serotyper(warm)
+    assert res is not None
+
+    correct = 0
+    t0 = time.perf_counter()
+    for name, true_locus, contig in assemblies:
+        ga = make_ga(name, contig)
+        res = serotyper(ga)
+        if res.best_locus_name == true_locus:
+            correct += 1
+    elapsed = time.perf_counter() - t0
+
+    value = len(assemblies) / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "assemblies_typed_per_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "assemblies/s",
+                "vs_baseline": round(value / BASELINE_ASM_PER_SEC, 3),
+            }
+        )
+    )
+    print(
+        f"# {len(assemblies)} x {GENOME_MB} Mb assemblies in {elapsed:.2f}s; "
+        f"accuracy {correct}/{len(assemblies)} correct locus calls",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -48,18 +48,30 @@ def encode_dna(seqs: np.ndarray) -> np.ndarray:
     return DNA_CODE_LUT[seqs]
 
 
+def bucket_length(n: int, minimum: int = 1 << 16) -> int:
+    r"""Smallest power-of-two >= n (>= minimum): bounds jit recompilation variants."""
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
 def concat_with_sentinels(
-    codes: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, k: int
+    codes: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, k: int, pad_to_bucket: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
     r"""Concatenate per-sequence code arrays with ``k-1`` sentinels between them.
 
     Returns (flat_codes, seq_starts) where ``seq_starts[i]`` is the position of
-    sequence ``i`` within the flat array.
+    sequence ``i`` within the flat array.  With ``pad_to_bucket`` the flat array
+    is sentinel-padded to a power-of-two length so the device minimizer scan
+    compiles once per bucket instead of once per genome (sentinels yield no
+    minimizers, so padding is semantically inert).
     """
     n = len(offsets)
     gap = k - 1
     total = int(lengths.sum()) + gap * max(n - 1, 0)
-    flat = np.full(total, SENTINEL, dtype=np.uint8)
+    alloc = bucket_length(max(total, 1)) if pad_to_bucket else total
+    flat = np.full(alloc, SENTINEL, dtype=np.uint8)
     starts = np.zeros(n, dtype=np.int64)
     pos = 0
     for i in range(n):

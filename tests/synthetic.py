@@ -9,10 +9,11 @@ fragmentation, making the true locus call known by design.
 import numpy as np
 
 BASES = b"ACGT"
+_BASES_ARR = np.frombuffer(BASES, dtype=np.uint8)
 
 
 def random_dna(rng, n: int) -> bytes:
-    return bytes(BASES[i] for i in rng.integers(0, 4, n))
+    return _BASES_ARR[rng.integers(0, 4, n)].tobytes()
 
 
 def mutate_dna(rng, seq: bytes, sub_rate: float = 0.0, indel_rate: float = 0.0) -> bytes:
