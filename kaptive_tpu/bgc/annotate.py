@@ -1,0 +1,207 @@
+r"""ORF prediction and database annotation for BGC analysis.
+
+Capability parity with ``/root/reference/src/kaptive/bgc/annotate.py``:
+``Genes`` SoA (:37-120), ``AnnotationResult`` with BED export (:123-201), and
+``Annotator`` (:204-343) — ORF calling (pyfgs replaced by the vectorised
+six-frame finder in :mod:`kaptive_tpu.bgc.orf`, parallelised per contig with a
+thread pool), randstrobe query indexing, DB top-hit search, and optional
+device DP alignment refinement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Self
+
+import numpy as np
+import numpy.typing as npt
+
+from kaptive_tpu.bgc.orf import find_orfs, resolve_overlaps
+from kaptive_tpu.core.genome import GenomeAssembly
+from kaptive_tpu.core.interval import Intervals
+from kaptive_tpu.core.kmers import RandstrobeIndex, Seeds
+from kaptive_tpu.core.pairwise import PairwiseAligner, PairwiseAlignments
+from kaptive_tpu.core.seq import Sequences
+from kaptive_tpu.db import Database
+
+
+@dataclass(slots=True, frozen=True)
+class Genes:
+    r"""SoA container of predicted genes: intervals, translations, contig indices."""
+
+    intervals: Intervals
+    translations: Sequences
+    contig_indices: npt.NDArray[np.uint32]
+
+    def __len__(self) -> int:
+        return len(self.intervals)
+
+    def __getitem__(self, item: int | slice | npt.NDArray[Any] | list[int]) -> Any:
+        if isinstance(item, (int, np.integer)):
+            return (
+                self.intervals[item],
+                self.translations[item],
+                self.contig_indices[item],
+            )
+        return Genes(
+            intervals=self.intervals[item],  # type: ignore[arg-type]
+            translations=self.translations[item],  # type: ignore[arg-type]
+            contig_indices=self.contig_indices[item],
+        )
+
+    @classmethod
+    def empty(cls) -> "Genes":
+        return cls(
+            intervals=Intervals.empty(),
+            translations=Sequences.empty(),
+            contig_indices=np.empty(0, dtype=np.uint32),
+        )
+
+    @classmethod
+    def concat(cls, batches: Iterable[Self]) -> Self:
+        batches_list = list(batches)
+        if not batches_list:
+            return cls.empty()  # type: ignore[return-value]
+        return cls(
+            intervals=Intervals.concat([b.intervals for b in batches_list]),
+            translations=Sequences.concat([b.translations for b in batches_list]),
+            contig_indices=np.concatenate([b.contig_indices for b in batches_list]),
+        )
+
+
+@dataclass(slots=True)
+class AnnotationResult:
+    r"""Annotation outputs: genes, query strobemer index, DB hit seeds, BED export."""
+
+    genes: Genes
+    translations_idx: RandstrobeIndex
+    seeds: Seeds
+    hits_mask: npt.NDArray[np.bool_]
+    top_hit_names: npt.NDArray[np.object_]
+    top_hit_scores: npt.NDArray[np.float32]
+    contig_names: tuple[str, ...]
+    alignments: PairwiseAlignments | None = None
+
+    def write_bed(self, path: str | Path, hits_only: bool = True) -> None:
+        r"""Write predicted genes to a 7-column BED file (ref :155-201, byte-compatible)."""
+        mask = self.hits_mask if hits_only else np.ones(len(self.genes), dtype=bool)
+        valid_indices = np.where(mask)[0]
+        if len(valid_indices) == 0:
+            with open(path, "w") as f:
+                pass
+            return
+
+        filtered_genes = self.genes[valid_indices]
+        c_names = [self.contig_names[i] for i in filtered_genes.contig_indices]
+        starts = filtered_genes.intervals.starts
+        ends = filtered_genes.intervals.ends
+        strands = filtered_genes.intervals.strands
+        strand_map = {1: "+", -1: "-", 0: "."}
+
+        with open(path, "w") as f:
+            for i, global_idx in enumerate(valid_indices):
+                strand_char = strand_map.get(int(strands[i]), ".")
+                if self.hits_mask[global_idx]:
+                    tags = (
+                        f"top_hit={self.top_hit_names[global_idx]};"
+                        f"score={self.top_hit_scores[global_idx]:.2f}"
+                    )
+                else:
+                    tags = "."
+                f.write(
+                    f"{c_names[i]}\t{starts[i]}\t{ends[i]}\t{global_idx}\t0\t{strand_char}\t{tags}\n"
+                )
+
+
+class Annotator:
+    r"""ORF prediction + reference protein annotation engine."""
+
+    def __init__(
+        self,
+        db: Database,
+        align: bool = False,
+        aligner_kwargs: dict[str, Any] | None = None,
+        whole_genome: bool = False,
+        min_codons: int = 30,
+    ) -> None:
+        self._db = db
+        self.align = align
+        self.aligner = PairwiseAligner(**(aligner_kwargs or {})) if align else None
+        self.whole_genome = whole_genome
+        self.min_codons = min_codons
+        self._db_idx = RandstrobeIndex.build(self._db.translations, sort_by_hash=True)
+
+    def __call__(self, genome: GenomeAssembly) -> AnnotationResult:
+        offsets = genome.contigs.offsets
+        lengths = genome.contigs.lengths
+        seqs = genome.contigs.seqs
+        seq_bytes_list = [
+            seqs[offsets[i] : offsets[i] + lengths[i]].tobytes()
+            for i in range(len(genome.contigs))
+        ]
+
+        def _predict(seq_bytes: bytes):
+            if len(seq_bytes) < 3:
+                return []
+            return resolve_overlaps(find_orfs(seq_bytes, min_codons=self.min_codons))
+
+        with ThreadPoolExecutor() as executor:
+            batch_results = list(executor.map(_predict, seq_bytes_list))
+
+        starts: list[int] = []
+        ends: list[int] = []
+        strands: list[int] = []
+        contig_indices: list[int] = []
+        protein_seqs: list[bytes] = []
+        for contig_idx, orfs in enumerate(batch_results):
+            for o in orfs:
+                starts.append(o.start)
+                ends.append(o.end)
+                strands.append(o.strand)
+                contig_indices.append(contig_idx)
+                protein_seqs.append(o.translation)
+
+        genes_soa = Genes(
+            intervals=Intervals(
+                starts=np.array(starts, dtype=np.int32),
+                ends=np.array(ends, dtype=np.int32),
+                strands=np.array(strands, dtype=np.int8),
+            ),
+            translations=Sequences.from_bytes(protein_seqs),
+            contig_indices=np.array(contig_indices, dtype=np.uint32),
+        )
+
+        translations_idx = RandstrobeIndex.build(genes_soa.translations)
+        seeds = self._db_idx.top_hits(translations_idx) if len(translations_idx) else Seeds.empty()
+
+        num_genes = len(genes_soa)
+        hits_mask = np.zeros(num_genes, dtype=bool)
+        top_hit_names = np.full(num_genes, "", dtype=object)
+        top_hit_scores = np.zeros(num_genes, dtype=np.float32)
+
+        if len(seeds) > 0:
+            hits_mask[seeds.query_indices] = True
+            for q_idx, t_idx, score in zip(seeds.query_indices, seeds.target_indices, seeds.scores):
+                top_hit_names[q_idx] = self._db.translations.ids[t_idx]
+                top_hit_scores[q_idx] = float(score)
+
+        alignments = None
+        if self.aligner is not None and len(seeds) > 0:
+            q_seqs, t_seqs = seeds.extract_sequences(genes_soa.translations, self._db.translations)
+            alignments = self.aligner(q_seqs, t_seqs, seeds=seeds)
+            for i, q_idx in enumerate(seeds.query_indices):
+                top_hit_scores[q_idx] = float(alignments.scores[i])
+
+        return AnnotationResult(
+            genes=genes_soa,
+            translations_idx=translations_idx,
+            seeds=seeds,
+            hits_mask=hits_mask,
+            top_hit_names=top_hit_names,
+            top_hit_scores=top_hit_scores,
+            contig_names=genome.contigs.ids,
+            alignments=alignments,
+        )
