@@ -42,7 +42,7 @@ def parse_fasta_bytes(data: bytes) -> list[tuple[str, bytes]]:
     for block in data.split(b">")[1:]:
         header, _, body = block.partition(b"\n")
         name = header.split()[0].decode() if header.split() else ""
-        seq = body.replace(b"\n", b"").replace(b"\r", b"")
+        seq = body.translate(None, delete=b"\n\r \t")
         records.append((name, seq))
     return records
 

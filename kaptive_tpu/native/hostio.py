@@ -1,0 +1,107 @@
+r"""ctypes binding for the native host-IO library (``native/hostio.cpp``).
+
+Compiles the shared object on first use (g++ -O3, cached beside the package or
+in a temp dir); raises ImportError if no compiler is available so callers fall
+back to the pure-Python paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "hostio.cpp"
+
+
+def _build() -> Path:
+    candidates = [
+        Path(__file__).resolve().parent / "_hostio.so",
+        Path(tempfile.gettempdir()) / f"kaptive_tpu_hostio_{os.getuid()}.so",
+    ]
+    for so in candidates:
+        if so.exists() and so.stat().st_mtime >= _SRC.stat().st_mtime:
+            return so
+    err: Exception | None = None
+    for so in candidates:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", str(_SRC), "-o", str(so)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return so
+        except Exception as e:  # no compiler / no write permission: try next
+            err = e
+    raise ImportError(f"Cannot build native hostio: {err}")
+
+
+if not _SRC.exists():
+    raise ImportError(f"native source missing: {_SRC}")
+
+_lib = ctypes.CDLL(str(_build()))
+_lib.fasta_scan.argtypes = [
+    ctypes.c_char_p, ctypes.c_size_t,
+    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+]
+_lib.fasta_parse.restype = ctypes.c_int
+_lib.fasta_parse.argtypes = [
+    ctypes.c_char_p, ctypes.c_size_t,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+]
+_lib.encode_dna_2bit.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
+
+
+def parse_fasta_bytes(data: bytes) -> list[tuple[str, bytes]]:
+    r"""Parse FASTA bytes natively -> list of (name, sequence)."""
+    if not data:
+        return []
+    n_records = ctypes.c_int64(0)
+    total_seq = ctypes.c_int64(0)
+    _lib.fasta_scan(data, len(data), ctypes.byref(n_records), ctypes.byref(total_seq))
+    nr = n_records.value
+    if nr == 0:
+        return []
+    seq_buf = np.empty(total_seq.value, dtype=np.uint8)
+    name_cap = len(data)  # headers can't exceed the input size
+    name_buf = np.empty(name_cap, dtype=np.uint8)
+    seq_off = np.empty(nr, dtype=np.int64)
+    seq_len = np.empty(nr, dtype=np.int64)
+    name_off = np.empty(nr, dtype=np.int64)
+    name_len = np.empty(nr, dtype=np.int64)
+    rc = _lib.fasta_parse(
+        data, len(data),
+        seq_buf.ctypes.data_as(ctypes.c_void_p),
+        name_buf.ctypes.data_as(ctypes.c_void_p),
+        name_cap,
+        seq_off.ctypes.data_as(ctypes.c_void_p),
+        seq_len.ctypes.data_as(ctypes.c_void_p),
+        name_off.ctypes.data_as(ctypes.c_void_p),
+        name_len.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError("native FASTA parse failed")
+    out = []
+    name_bytes = name_buf.tobytes()
+    seq_bytes = seq_buf.tobytes()
+    for i in range(nr):
+        name = name_bytes[name_off[i] : name_off[i] + name_len[i]].decode()
+        seq = seq_bytes[seq_off[i] : seq_off[i] + seq_len[i]]
+        out.append((name, seq))
+    return out
+
+
+def encode_dna(seqs: np.ndarray) -> np.ndarray:
+    r"""Native byte -> 2-bit code encoding."""
+    data = np.ascontiguousarray(seqs, dtype=np.uint8)
+    out = np.empty(len(data), dtype=np.uint8)
+    _lib.encode_dna_2bit(
+        data.tobytes(), len(data), out.ctypes.data_as(ctypes.c_void_p)
+    )
+    return out

@@ -201,3 +201,23 @@ def test_cigars_swap_and_strings():
     c = Cigars.from_lists([parse_cigar_string(b"10M2I3D")])
     swapped = c.swap_sides()
     assert swapped.to_strings() == [b"10M2D3I"]
+
+
+# Native host-IO ------------------------------------------------------------------------------------------------------
+def test_native_hostio_parity():
+    """Native C++ FASTA parser agrees with the pure-Python fallback."""
+    pytest.importorskip("kaptive_tpu.native.hostio")
+    from kaptive_tpu.native import hostio
+
+    data = b">a desc\nACGT\nacgt\n>b\nTT TT\r\nGG\n>c\n\n>d x\nNNN\n"
+    native = hostio.parse_fasta_bytes(data)
+    fallback = []
+    for block in data.split(b">")[1:]:
+        header, _, body = block.partition(b"\n")
+        name = header.split()[0].decode() if header.split() else ""
+        fallback.append((name, body.translate(None, delete=b"\n\r \t")))
+    assert native == fallback
+    assert native[0] == ("a", b"ACGTacgt")
+
+    codes = hostio.encode_dna(np.frombuffer(b"ACGTNacgtu", np.uint8))
+    np.testing.assert_array_equal(codes, [0, 1, 2, 3, 4, 0, 1, 2, 3, 3])
