@@ -261,27 +261,42 @@ def batched_swg_align(
         w_pad = int(w_buckets[sel[0]])
         t_pad = w_pad + 2
 
-        q_mat = pad_ragged_to_matrix(q_data, q_offsets[sel], q_lengths[sel], rows_max)
-        t_mat_core = pad_ragged_to_matrix(t_data, t_offsets[sel], t_lengths[sel], t_max)
-        t_mat = np.zeros((len(sel), t_max + 2 * t_pad), dtype=np.int32)
-        t_mat[:, t_pad : t_pad + t_max] = t_mat_core
+        # Pad the batch dimension to a power-of-two bucket too: compiled
+        # program count must not grow with per-genome hit counts (device
+        # compiles are expensive, padded pairs are nearly free).
+        b = len(sel)
+        b_pad = _bucket_size(b, 8)
+        q_mat = np.zeros((b_pad, rows_max), dtype=np.int32)
+        q_mat[:b] = pad_ragged_to_matrix(q_data, q_offsets[sel], q_lengths[sel], rows_max)
+        t_mat = np.zeros((b_pad, t_max + 2 * t_pad), dtype=np.int32)
+        t_mat[:b, t_pad : t_pad + t_max] = pad_ragged_to_matrix(
+            t_data, t_offsets[sel], t_lengths[sel], t_max
+        )
+        ql = np.zeros(b_pad, dtype=np.int32)
+        ql[:b] = q_lengths[sel]
+        tl = np.zeros(b_pad, dtype=np.int32)
+        tl[:b] = t_lengths[sel]
+        do = np.zeros(b_pad, dtype=np.int32)
+        do[:b] = diag_offsets[sel]
+        kl = np.full(b_pad, 1, dtype=np.int32)
+        kl[:b] = k_locals[sel]
 
         res = banded_swg(
-            jnp.asarray(q_mat), jnp.asarray(q_lengths[sel].astype(np.int32)),
-            jnp.asarray(t_mat), jnp.asarray(t_lengths[sel].astype(np.int32)),
-            jnp.asarray(diag_offsets[sel].astype(np.int32)), jnp.asarray(k_locals[sel].astype(np.int32)),
+            jnp.asarray(q_mat), jnp.asarray(ql),
+            jnp.asarray(t_mat), jnp.asarray(tl),
+            jnp.asarray(do), jnp.asarray(kl),
             jnp.asarray(matrix, dtype=jnp.int32),
             gap_open=gap_open, gap_extend=gap_extend,
             rows_max=rows_max, w_pad=w_pad, t_pad=t_pad,
         )
-        out["scores"][sel] = np.asarray(res.scores)
-        out["matches"][sel] = np.asarray(res.matches)
-        out["mismatches"][sel] = np.asarray(res.mismatches)
-        out["gaps"][sel] = np.asarray(res.gaps)
-        out["q_starts"][sel] = np.asarray(res.q_starts)
-        out["q_ends"][sel] = np.asarray(res.q_ends)
-        out["t_starts"][sel] = np.asarray(res.t_starts)
-        out["t_ends"][sel] = np.asarray(res.t_ends)
+        out["scores"][sel] = np.asarray(res.scores)[:b]
+        out["matches"][sel] = np.asarray(res.matches)[:b]
+        out["mismatches"][sel] = np.asarray(res.mismatches)[:b]
+        out["gaps"][sel] = np.asarray(res.gaps)[:b]
+        out["q_starts"][sel] = np.asarray(res.q_starts)[:b]
+        out["q_ends"][sel] = np.asarray(res.q_ends)[:b]
+        out["t_starts"][sel] = np.asarray(res.t_starts)[:b]
+        out["t_ends"][sel] = np.asarray(res.t_ends)[:b]
 
     return PairwiseAlignments(
         out["scores"], out["matches"], out["mismatches"], out["gaps"],

@@ -32,9 +32,12 @@ and reported (no per-query best-N pruning), mirroring the reference's
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import functools
+from dataclasses import dataclass, field
 
 import numpy as np
+
+import jax
 
 from kaptive_tpu.core.alignment import Alignments
 from kaptive_tpu.core.collections import ragged_gather_indices
@@ -48,6 +51,7 @@ from kaptive_tpu.ops.minimizer import (
     build_minimizer_set,
     concat_with_sentinels,
     encode_dna,
+    minimizer_scan,
 )
 
 # Nucleotide scoring (minimap2-class defaults: match 2, mismatch -4, gap 4+2/base).
@@ -72,6 +76,7 @@ class GeneIndex:
     lengths: np.ndarray  # (n_genes,)
     k: int
     w: int
+    _cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     @classmethod
     def build(cls, genes: Sequences, k: int = DEFAULT_K, w: int = DEFAULT_W) -> "GeneIndex":
@@ -79,6 +84,21 @@ class GeneIndex:
         flat, starts = concat_with_sentinels(codes, genes.offsets, genes.lengths, k)
         mins = build_minimizer_set(genes, k=k, w=w, sort=True)
         return cls(mins, flat, starts, genes.lengths.astype(np.int64), k, w)
+
+    @property
+    def device_table(self):
+        r"""Cached device copies of the sorted minimizer table arrays."""
+        if "table" not in self._cache:
+            import jax.numpy as jnp
+
+            ms = self.minimizers
+            self._cache["table"] = (
+                jnp.asarray(ms.hashes),
+                jnp.asarray(ms.seq_indices),
+                jnp.asarray(ms.positions),
+                jnp.asarray(ms.strands),
+            )
+        return self._cache["table"]
 
 
 @dataclass(frozen=True, slots=True)
@@ -95,7 +115,7 @@ class MapperParams:
 
 
 def find_anchors(gene_index: GeneIndex, contig_mins: MinimizerSet, params: MapperParams):
-    r"""Match contig minimizers against the sorted gene table -> anchor arrays."""
+    r"""Match contig minimizers against the sorted gene table -> anchor arrays (host path)."""
     h = contig_mins.hashes
     lo = np.searchsorted(gene_index.minimizers.hashes, h, side="left")
     hi = np.searchsorted(gene_index.minimizers.hashes, h, side="right")
@@ -114,6 +134,107 @@ def find_anchors(gene_index: GeneIndex, contig_mins: MinimizerSet, params: Mappe
     c_strand = contig_mins.strands[rep]
 
     rel_strand = np.where(g_strand == c_strand, 1, -1).astype(np.int64)
+    return g_idx, g_pos, c_idx, c_pos, rel_strand
+
+
+MIN_DENSITY_CAP = 4  # minimizer capacity = L / MIN_DENSITY_CAP (true density ~2/(w+1))
+DEVICE_MAX_OCC = 1024  # per-minimizer gene-table occurrence cap in the fused device step
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap_mins", "cap_anchors", "max_occ", "k", "w")
+)
+def scan_match(
+    codes,  # (L,) uint8 flat contig stream (sentinel separated, bucket padded)
+    table_hashes,  # (T,) uint32 sorted gene minimizer hashes
+    table_genes,  # (T,) int32
+    table_pos,  # (T,) int32
+    table_strands,  # (T,) bool
+    *,
+    cap_mins: int,
+    cap_anchors: int,
+    max_occ: int = DEVICE_MAX_OCC,
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+):
+    r"""Fused on-device seeding: minimizer scan -> compact -> gene-table match.
+
+    The full-length scan arrays never leave the device (critical on tunneled
+    TPUs where device->host bandwidth is scarce); only fixed-capacity anchor
+    arrays and overflow counters are returned.  Occurrence expansion is ragged
+    (cumsum + searchsorted over anchor slots), so memory stays
+    ``O(cap_anchors)`` and the occurrence cap can accommodate gene-table hash
+    runs from cross-locus homologs (dense all-hits semantics).
+    """
+    import jax.numpy as jnp
+
+    L = codes.shape[0]
+    T = table_hashes.shape[0]
+    sel, hashes, strands = minimizer_scan(codes, k, w)
+
+    # Compact selected minimizer positions to fixed capacity.
+    (pos,) = jnp.nonzero(sel, size=cap_mins, fill_value=L)
+    ok_min = pos < L
+    safe_pos = jnp.minimum(pos, L - 1)
+    h = jnp.where(ok_min, hashes[safe_pos], jnp.uint32(0xFFFFFFFF))
+    st = strands[safe_pos]
+
+    lo = jnp.searchsorted(table_hashes, h, side="left")
+    hi = jnp.searchsorted(table_hashes, h, side="right")
+    counts = jnp.where(ok_min, jnp.minimum(hi - lo, max_occ), 0)
+
+    # Ragged expansion: anchor slot j belongs to minimizer mi with
+    # within-run offset j - cum[mi]; table row = lo[mi] + within.
+    counts = counts.astype(jnp.int32)
+    cum = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    total = cum[-1] + counts[-1]
+    j = jnp.arange(cap_anchors, dtype=jnp.int32)
+    mi = jnp.searchsorted(cum, j, side="right") - 1
+    mi = jnp.clip(mi, 0, cap_mins - 1)
+    within = j - cum[mi]
+    ok_a = (j < total) & (within >= 0) & (within < counts[mi])
+    ti = jnp.clip(lo[mi] + within, 0, T - 1)
+
+    return dict(
+        valid=ok_a,
+        c_flat_pos=jnp.where(ok_a, pos[mi], 0).astype(jnp.int32),
+        c_strand=st[mi],
+        g_idx=jnp.where(ok_a, table_genes[ti], 0).astype(jnp.int32),
+        g_pos=jnp.where(ok_a, table_pos[ti], 0).astype(jnp.int32),
+        g_strand=table_strands[ti],
+        n_minimizers=sel.sum(),
+        n_anchors=total,
+    )
+
+
+def find_anchors_device(gene_index: GeneIndex, contig_index, params: MapperParams):
+    r"""Device seeding path: returns the same anchor arrays as :func:`find_anchors`."""
+    codes = contig_index.device_codes
+    th, tg, tp, ts = gene_index.device_table
+    L = int(codes.shape[0])
+    cap_mins = max(L // MIN_DENSITY_CAP, 1024)
+    # Anchor capacity is decoupled from the minimizer capacity: typical anchor
+    # counts are 1e3-1e5 (locus region x homologous loci), and the transferred
+    # arrays scale with this cap — keep it tight, grow on overflow.
+    cap_anchors = 1 << 18
+    out = scan_match(
+        codes, th, tg, tp, ts,
+        cap_mins=cap_mins, cap_anchors=cap_anchors,
+        max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
+    )
+    out = {key: np.asarray(v) for key, v in out.items()}
+    if int(out["n_minimizers"]) > cap_mins or int(out["n_anchors"]) > cap_anchors:
+        # Capacity overflow (pathological repeat content): fall back to host path.
+        return find_anchors(gene_index, contig_index.minimizers, params)
+
+    valid = out["valid"]
+    flat_pos = out["c_flat_pos"][valid]
+    # Map flat stream positions back to (contig, local position) on host.
+    c_idx = np.searchsorted(contig_index.starts, flat_pos, side="right").astype(np.int64) - 1
+    c_pos = flat_pos - contig_index.starts[c_idx]
+    g_idx = out["g_idx"][valid].astype(np.int64)
+    g_pos = out["g_pos"][valid].astype(np.int64)
+    rel_strand = np.where(out["g_strand"][valid] == out["c_strand"][valid], 1, -1).astype(np.int64)
     return g_idx, g_pos, c_idx, c_pos, rel_strand
 
 
@@ -248,9 +369,8 @@ def map_genes(
     """
     params = params or MapperParams()
     contig_index: ContigIndex = genome.get_minimizer_index()
-    contig_mins = contig_index.minimizers
 
-    g_idx, g_pos, c_idx, c_pos, rel_strand = find_anchors(gene_index, contig_mins, params)
+    g_idx, g_pos, c_idx, c_pos, rel_strand = find_anchors_device(gene_index, contig_index, params)
     chains = chain_anchors(
         g_idx, g_pos, c_idx, c_pos, rel_strand, gene_index.lengths, gene_index.k, params
     )

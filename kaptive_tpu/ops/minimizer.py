@@ -19,7 +19,7 @@ is bandwidth-bound streaming work the VPU excels at.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -142,6 +142,50 @@ def minimizer_scan(codes: jax.Array, k: int = DEFAULT_K, w: int = DEFAULT_W):
     return selected, hashes, strands
 
 
+def minimizer_scan_host(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W):
+    r"""Numpy mirror of :func:`minimizer_scan` for host-side / offline use.
+
+    Used for the one-time DB gene-table build (no device round-trip needed)
+    and as a CPU fallback; produces identical (selected, hashes, strands).
+    """
+    L = len(codes)
+    c = codes.astype(np.uint32)
+    bad = (c >= SENTINEL).astype(np.int32)
+    fwd = np.zeros(L, dtype=np.uint32)
+    rev = np.zeros(L, dtype=np.uint32)
+    badsum = np.zeros(L, dtype=np.int32)
+    for j in range(k):
+        cj = np.roll(c, -j)
+        fwd |= cj << np.uint32(2 * (k - 1 - j))
+        rev |= (np.uint32(3) - cj) << np.uint32(2 * j)
+        badsum += np.roll(bad, -j)
+    valid = (badsum == 0) & (np.arange(L) < L - k + 1)
+    canonical = np.minimum(fwd, rev)
+    strands = fwd <= rev
+    # murmur3 finalizer (same as device _mix32)
+    x = canonical.copy()
+    x ^= x >> np.uint32(16)
+    x = (x * np.uint32(0x85EBCA6B)).astype(np.uint32)
+    x ^= x >> np.uint32(13)
+    x = (x * np.uint32(0xC2B2AE35)).astype(np.uint32)
+    x ^= x >> np.uint32(16)
+    hashes = np.where(valid, x, UINT32_MAX)
+
+    best = hashes.copy()
+    best_pos = np.arange(L, dtype=np.int32)
+    for j in range(1, w):
+        cand = np.roll(hashes, -j)
+        cand_pos = np.arange(L, dtype=np.int32) + j
+        take = cand < best
+        best = np.where(take, cand, best)
+        best_pos = np.where(take, cand_pos, best_pos)
+    window_valid = (best != UINT32_MAX) & (np.arange(L) < L - k - w + 2)
+    selected = np.zeros(L, dtype=bool)
+    selected[best_pos[window_valid]] = True
+    selected &= valid
+    return selected, hashes, strands
+
+
 @dataclass(frozen=True, slots=True)
 class MinimizerSet:
     r"""Compacted minimizers of a sequence batch, with a sorted lookup table."""
@@ -156,9 +200,16 @@ class MinimizerSet:
 
 
 def build_minimizer_set(
-    seqs: Sequences, k: int = DEFAULT_K, w: int = DEFAULT_W, sort: bool = True
+    seqs: Sequences, k: int = DEFAULT_K, w: int = DEFAULT_W, sort: bool = True, device: bool = False
 ) -> MinimizerSet:
-    r"""Extract and (optionally) hash-sort minimizers for a ragged sequence batch."""
+    r"""Extract and (optionally) hash-sort minimizers for a ragged sequence batch.
+
+    Defaults to the host scan: this builder produces *compacted* record arrays
+    consumed on host (DB gene tables, per-contig records), and full-length
+    device->host transfers dominate on tunneled TPUs.  The device path
+    (:func:`minimizer_scan`) is used by the fused on-device mapping pipeline
+    which keeps data resident and transfers only anchors.
+    """
     if len(seqs) == 0 or len(seqs.seqs) == 0:
         e = np.empty(0)
         return MinimizerSet(
@@ -166,7 +217,10 @@ def build_minimizer_set(
         )
     codes = encode_dna(seqs.seqs)
     flat, starts = concat_with_sentinels(codes, seqs.offsets, seqs.lengths, k)
-    sel, hashes, strands = jax.tree.map(np.asarray, minimizer_scan(jnp.asarray(flat), k, w))
+    if device:
+        sel, hashes, strands = jax.tree.map(np.asarray, minimizer_scan(jnp.asarray(flat), k, w))
+    else:
+        sel, hashes, strands = minimizer_scan_host(flat, k, w)
     pos = np.flatnonzero(sel)
     h = hashes[pos]
     st = strands[pos]
@@ -181,24 +235,46 @@ def build_minimizer_set(
 
 @dataclass(frozen=True, slots=True)
 class ContigIndex:
-    r"""Per-assembly mapping index: encoded contigs + their minimizers.
+    r"""Per-assembly mapping index: encoded contigs (+ lazily computed minimizers).
 
     The TPU-native stand-in for the reference's lazily-built rammappy index
-    (``genome.py:177-191``): holds the flat 2-bit encoding (for extension
-    windows) and the contig minimizer set (for seeding against the static DB
-    gene minimizer table).
+    (``genome.py:177-191``): holds the flat 2-bit encoding; minimizer
+    extraction happens inside the fused on-device mapping step
+    (:func:`kaptive_tpu.ops.mapper.scan_match`), which keeps the full-length
+    scan arrays device-resident and transfers only compacted anchors.  A host
+    :class:`MinimizerSet` is still available lazily for host-side consumers.
     """
 
-    codes: np.ndarray  # flat encoded contigs (with sentinels)
+    codes: np.ndarray  # flat encoded contigs (with sentinels, bucket-padded)
     starts: np.ndarray  # (n_contigs,) start of each contig within codes
     lengths: np.ndarray  # (n_contigs,)
-    minimizers: MinimizerSet
     k: int
     w: int
+    _cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     @classmethod
     def build(cls, contigs: Sequences, k: int = DEFAULT_K, w: int = DEFAULT_W) -> "ContigIndex":
         codes = encode_dna(contigs.seqs)
         flat, starts = concat_with_sentinels(codes, contigs.offsets, contigs.lengths, k)
-        mins = build_minimizer_set(contigs, k=k, w=w, sort=False)
-        return cls(flat, starts, contigs.lengths.astype(np.int64), mins, k, w)
+        return cls(flat, starts, contigs.lengths.astype(np.int64), k, w)
+
+    @property
+    def minimizers(self) -> MinimizerSet:
+        r"""Host minimizer set over the flat contig stream (lazy)."""
+        if "mins" not in self._cache:
+            sel, hashes, strands = minimizer_scan_host(self.codes, self.k, self.w)
+            pos = np.flatnonzero(sel)
+            seq_idx = np.searchsorted(self.starts, pos, side="right").astype(np.int32) - 1
+            local = (pos - self.starts[seq_idx]).astype(np.int32)
+            self._cache["mins"] = MinimizerSet(
+                hashes[pos].astype(np.uint32), seq_idx, local,
+                strands[pos].astype(bool), len(self.starts), self.k, self.w,
+            )
+        return self._cache["mins"]
+
+    @property
+    def device_codes(self):
+        r"""Cached device copy of the flat code stream."""
+        if "dev" not in self._cache:
+            self._cache["dev"] = jnp.asarray(self.codes)
+        return self._cache["dev"]
