@@ -81,18 +81,24 @@ def main() -> None:
     def make_ga(name, contig):
         return GenomeAssembly.from_stream(io.BytesIO(b">c1\n%s\n" % contig), name)
 
+    batch_size = int(os.environ.get("KAPTIVE_TPU_BENCH_BATCH", "8"))
+
     # Warm-up: compiles the device kernels (minimizer scan, SWG buckets).
-    warm = make_ga("warm", assemblies[0][2])
-    res = serotyper(warm)
-    assert res is not None
+    print("# warm-up (compiles device programs)...", file=sys.stderr, flush=True)
+    t_w = time.perf_counter()
+    warm = [make_ga(f"warm{i}", assemblies[i][2]) for i in range(min(batch_size, len(assemblies)))]
+    res = serotyper.batch(warm)
+    assert res[0] is not None
+    print(f"# warm-up done in {time.perf_counter() - t_w:.1f}s", file=sys.stderr, flush=True)
 
     correct = 0
     t0 = time.perf_counter()
-    for name, true_locus, contig in assemblies:
-        ga = make_ga(name, contig)
-        res = serotyper(ga)
-        if res.best_locus_name == true_locus:
-            correct += 1
+    for i in range(0, len(assemblies), batch_size):
+        group = assemblies[i : i + batch_size]
+        gas = [make_ga(name, contig) for name, _, contig in group]
+        for (name, true_locus, _), r in zip(group, serotyper.batch(gas)):
+            if r.best_locus_name == true_locus:
+                correct += 1
     elapsed = time.perf_counter() - t0
 
     value = len(assemblies) / elapsed

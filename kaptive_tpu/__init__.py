@@ -23,6 +23,43 @@ Architecture (TPU-first, not a port):
   Structure-of-Arrays semantics exactly, so typing calls match.
 """
 
+import os as _os
+
 from kaptive_tpu._version import __version__
 
 __all__ = ["__version__"]
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """Cache compiled XLA programs across processes (device compiles are slow
+    on tunneled TPUs). Set KAPTIVE_TPU_NO_JAX_CACHE=1 to disable."""
+    if _os.environ.get("KAPTIVE_TPU_NO_JAX_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "KAPTIVE_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/kaptive_tpu_jax")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+def _maybe_force_cpu() -> None:
+    """KAPTIVE_TPU_FORCE_CPU=1 pins the default device to CPU (some TPU
+    plugins ignore JAX_PLATFORMS); used by tests and CI."""
+    if not _os.environ.get("KAPTIVE_TPU_FORCE_CPU"):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+    except Exception:
+        pass
+
+
+_enable_persistent_compilation_cache()
+_maybe_force_cpu()

@@ -266,9 +266,9 @@ def batched_swg_align(
         # compiles are expensive, padded pairs are nearly free).
         b = len(sel)
         b_pad = _bucket_size(b, 8)
-        q_mat = np.zeros((b_pad, rows_max), dtype=np.int32)
+        q_mat = np.zeros((b_pad, rows_max), dtype=np.uint8)
         q_mat[:b] = pad_ragged_to_matrix(q_data, q_offsets[sel], q_lengths[sel], rows_max)
-        t_mat = np.zeros((b_pad, t_max + 2 * t_pad), dtype=np.int32)
+        t_mat = np.zeros((b_pad, t_max + 2 * t_pad), dtype=np.uint8)
         t_mat[:b, t_pad : t_pad + t_max] = pad_ragged_to_matrix(
             t_data, t_offsets[sel], t_lengths[sel], t_max
         )

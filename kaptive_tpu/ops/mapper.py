@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from kaptive_tpu.core.alignment import Alignments
 from kaptive_tpu.core.collections import ragged_gather_indices
@@ -138,19 +139,19 @@ def find_anchors(gene_index: GeneIndex, contig_mins: MinimizerSet, params: Mappe
 
 
 MIN_DENSITY_CAP = 4  # minimizer capacity = L / MIN_DENSITY_CAP (true density ~2/(w+1))
+ANCHOR_CAP = 1 << 16  # per-genome anchor capacity (transferred arrays scale with this)
 DEVICE_MAX_OCC = 1024  # per-minimizer gene-table occurrence cap in the fused device step
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cap_mins", "cap_anchors", "max_occ", "k", "w")
-)
-def scan_match(
-    codes,  # (L,) uint8 flat contig stream (sentinel separated, bucket padded)
+def _scan_match_core(
+    packed,  # (L//4,) uint8 2-bit packed flat contig stream
+    edges,  # (E,) int32 interleaved contig [start,end) edges (sentinel reconstruction)
     table_hashes,  # (T,) uint32 sorted gene minimizer hashes
     table_genes,  # (T,) int32
     table_pos,  # (T,) int32
     table_strands,  # (T,) bool
     *,
+    length: int,
     cap_mins: int,
     cap_anchors: int,
     max_occ: int = DEVICE_MAX_OCC,
@@ -168,12 +169,23 @@ def scan_match(
     """
     import jax.numpy as jnp
 
-    L = codes.shape[0]
+    from kaptive_tpu.ops.minimizer import unpack_2bit_with_edges
+
+    L = length
     T = table_hashes.shape[0]
+    codes = unpack_2bit_with_edges(packed, edges, L)
     sel, hashes, strands = minimizer_scan(codes, k, w)
 
-    # Compact selected minimizer positions to fixed capacity.
-    (pos,) = jnp.nonzero(sel, size=cap_mins, fill_value=L)
+    # Compact selected minimizer positions to fixed capacity via cumsum rank +
+    # scatter (jnp.nonzero with a large static size compiles pathologically
+    # slowly on some TPU toolchains; this is the same result).
+    rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
+    scatter_to = jnp.where(sel, jnp.minimum(rank, cap_mins), cap_mins)
+    pos = (
+        jnp.full(cap_mins + 1, L, dtype=jnp.int32)
+        .at[scatter_to]
+        .set(jnp.arange(L, dtype=jnp.int32), mode="drop")
+    )[:cap_mins]
     ok_min = pos < L
     safe_pos = jnp.minimum(pos, L - 1)
     h = jnp.where(ok_min, hashes[safe_pos], jnp.uint32(0xFFFFFFFF))
@@ -207,19 +219,63 @@ def scan_match(
     )
 
 
+scan_match = jax.jit(
+    _scan_match_core,
+    static_argnames=("length", "cap_mins", "cap_anchors", "max_occ", "k", "w"),
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("length", "cap_mins", "cap_anchors", "max_occ", "k", "w")
+)
+def scan_match_batch(
+    packed_batch, edges_batch, table_hashes, table_genes, table_pos, table_strands,
+    *, length: int, cap_mins: int, cap_anchors: int, max_occ: int = DEVICE_MAX_OCC,
+    k: int = DEFAULT_K, w: int = DEFAULT_W,
+):
+    r"""Batched fused seeding: one dispatch for a whole assembly batch."""
+    return jax.vmap(
+        lambda p, e: _scan_match_core(
+            p, e, table_hashes, table_genes, table_pos, table_strands,
+            length=length, cap_mins=cap_mins, cap_anchors=cap_anchors,
+            max_occ=max_occ, k=k, w=w,
+        )
+    )(packed_batch, edges_batch)
+
+
+EDGE_CAP = 4096  # max contigs per assembly x2 in the packed-edge representation
+
+
+def _packed_inputs(contig_index) -> tuple[np.ndarray, np.ndarray, int]:
+    r"""2-bit packed stream + contig edges for device upload (cached)."""
+    from kaptive_tpu.ops.minimizer import contig_edges, pack_2bit
+
+    if "packed" not in contig_index._cache:
+        L = int(contig_index.codes.shape[0])
+        contig_index._cache["packed"] = pack_2bit(contig_index.codes)
+        contig_index._cache["edges"] = contig_edges(
+            contig_index.starts.astype(np.int64),
+            contig_index.lengths.astype(np.int64),
+            L,
+            min(EDGE_CAP, max(2 * len(contig_index.starts), 2)),
+        )
+    return contig_index._cache["packed"], contig_index._cache["edges"], int(
+        contig_index.codes.shape[0]
+    )
+
+
 def find_anchors_device(gene_index: GeneIndex, contig_index, params: MapperParams):
     r"""Device seeding path: returns the same anchor arrays as :func:`find_anchors`."""
-    codes = contig_index.device_codes
+    packed, edges, L = _packed_inputs(contig_index)
     th, tg, tp, ts = gene_index.device_table
-    L = int(codes.shape[0])
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
     # Anchor capacity is decoupled from the minimizer capacity: typical anchor
     # counts are 1e3-1e5 (locus region x homologous loci), and the transferred
     # arrays scale with this cap — keep it tight, grow on overflow.
-    cap_anchors = 1 << 18
+    cap_anchors = ANCHOR_CAP
     out = scan_match(
-        codes, th, tg, tp, ts,
-        cap_mins=cap_mins, cap_anchors=cap_anchors,
+        jnp.asarray(packed), jnp.asarray(edges), th, tg, tp, ts,
+        length=L, cap_mins=cap_mins, cap_anchors=cap_anchors,
         max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
     )
     out = {key: np.asarray(v) for key, v in out.items()}
@@ -303,15 +359,13 @@ def chain_anchors(
     }
 
 
-def extend_chains(
+def build_extension_problems(
     chains: dict,
     gene_index: GeneIndex,
     contig_index: ContigIndex,
     params: MapperParams,
-):
-    r"""Project chains to DP problems and run the batched banded SWG kernel."""
-    from kaptive_tpu.core.pairwise import batched_swg_align
-
+) -> dict | None:
+    r"""Project chains to ragged banded-DP problems (host array assembly only)."""
     n = len(chains["gene"])
     if n == 0:
         return None
@@ -346,44 +400,53 @@ def extend_chains(
     t_flat_idx, t_offsets, t_lengths = ragged_gather_indices(t_base, t_len)
     t_codes = contig_index.codes[t_flat_idx].astype(np.uint8)
 
-    res = batched_swg_align(
-        q_codes, q_offsets, q_lengths.astype(np.int32),
-        t_codes, t_offsets, t_lengths.astype(np.int32),
-        offsets.astype(np.int32), k_locals.astype(np.int32),
+    return dict(
+        q_codes=q_codes, q_offsets=q_offsets, q_lengths=q_lengths.astype(np.int32),
+        t_codes=t_codes, t_offsets=t_offsets, t_lengths=t_lengths.astype(np.int32),
+        offsets=offsets.astype(np.int32), k_locals=k_locals.astype(np.int32),
+        t_lo=t_lo, glen=glen,
+    )
+
+
+def _run_extension_dp(problems: dict):
+    r"""One batched banded-SWG dispatch over concatenated extension problems."""
+    from kaptive_tpu.core.pairwise import batched_swg_align
+
+    return batched_swg_align(
+        problems["q_codes"], problems["q_offsets"], problems["q_lengths"],
+        problems["t_codes"], problems["t_offsets"], problems["t_lengths"],
+        problems["offsets"], problems["k_locals"],
         matrix=_NT_MATRIX, gap_open=NT_GAP_OPEN, gap_extend=NT_GAP_EXTEND,
     )
-    return res, t_lo, glen
 
 
-def map_genes(
+def extend_chains(
+    chains: dict,
+    gene_index: GeneIndex,
+    contig_index: ContigIndex,
+    params: MapperParams,
+):
+    r"""Project chains to DP problems and run the batched banded SWG kernel."""
+    problems = build_extension_problems(chains, gene_index, contig_index, params)
+    if problems is None:
+        return None
+    res = _run_extension_dp(problems)
+    return res, problems["t_lo"], problems["glen"]
+
+
+def _alignments_from_extension(
+    chains: dict,
+    res,
+    t_lo: np.ndarray,
+    glen: np.ndarray,
     gene_index: GeneIndex,
     genome: GenomeAssembly,
+    contig_index: ContigIndex,
     gene_names: tuple[str, ...],
-    params: MapperParams | None = None,
+    params: MapperParams,
 ) -> Alignments:
-    r"""Map every DB gene against the assembly's contigs (dense all-hits mode).
-
-    Returns an :class:`Alignments` batch with q_names = gene indices as strings
-    (matching the reference's convention of stringified DB gene indices,
-    ``serotyping/core.py:111-122``) and t_names = contig names.
-    """
-    params = params or MapperParams()
-    contig_index: ContigIndex = genome.get_minimizer_index()
-
-    g_idx, g_pos, c_idx, c_pos, rel_strand = find_anchors_device(gene_index, contig_index, params)
-    chains = chain_anchors(
-        g_idx, g_pos, c_idx, c_pos, rel_strand, gene_index.lengths, gene_index.k, params
-    )
-    if not chains or len(chains["gene"]) == 0:
-        return Alignments.empty()
-
-    ext = extend_chains(chains, gene_index, contig_index, params)
-    if ext is None:
-        return Alignments.empty()
-    res, t_lo, glen = ext
-
+    r"""Filter/dedupe DP results and assemble the SoA alignment batch."""
     keep = np.asarray(res.scores) >= params.min_score
-    # Also require non-empty alignment spans.
     keep &= np.asarray(res.q_ends) > np.asarray(res.q_starts)
     if not keep.any():
         return Alignments.empty()
@@ -441,7 +504,9 @@ def map_genes(
     not_best = scores < best_per_gene[gene]
     np.maximum.at(second_per_gene, gene[not_best], scores[not_best])
     with np.errstate(divide="ignore", invalid="ignore"):
-        ratio = np.where(best_per_gene[gene] > 0, second_per_gene[gene] / np.maximum(best_per_gene[gene], 1), 0.0)
+        ratio = np.where(
+            best_per_gene[gene] > 0, second_per_gene[gene] / np.maximum(best_per_gene[gene], 1), 0.0
+        )
     mapq = np.where(is_primary, np.clip(60.0 * (1.0 - ratio), 0, 60), 0).astype(np.uint8)
 
     edit_distance = mismatches + gaps
@@ -464,3 +529,136 @@ def map_genes(
         block_lengths=np.maximum(q_end - q_start, t_end - t_start).astype(np.int32),
         is_primary=is_primary,
     )
+
+
+def map_genes(
+    gene_index: GeneIndex,
+    genome: GenomeAssembly,
+    gene_names: tuple[str, ...],
+    params: MapperParams | None = None,
+) -> Alignments:
+    r"""Map every DB gene against the assembly's contigs (dense all-hits mode).
+
+    Returns an :class:`Alignments` batch with q_names = gene indices as strings
+    (matching the reference's convention of stringified DB gene indices,
+    ``serotyping/core.py:111-122``) and t_names = contig names.
+    """
+    return map_genes_batch(gene_index, [genome], gene_names, params)[0]
+
+
+def map_genes_batch(
+    gene_index: GeneIndex,
+    genomes: list,
+    gene_names: tuple[str, ...],
+    params: MapperParams | None = None,
+) -> list[Alignments]:
+    r"""Map the DB gene set against a batch of assemblies with amortised dispatches.
+
+    The per-assembly device work (seeding scan + table match) runs as ONE
+    vmapped dispatch over the batch, and the banded extensions of every chain
+    from every assembly run as one bucketed DP sweep — dispatch and transfer
+    latency (dominant on tunneled TPUs) is paid once per batch, not per genome.
+    """
+    params = params or MapperParams()
+    indexes = [g.get_minimizer_index() for g in genomes]
+    n_genomes = len(genomes)
+    if n_genomes == 0:
+        return []
+
+    # Stack 2-bit packed code streams to a common bucket width (transfer over
+    # the host->device link is 4x smaller than raw codes; sentinels are
+    # reconstructed on device from the contig edge lists).
+    L = max(int(ci.codes.shape[0]) for ci in indexes)
+    n_edges = min(EDGE_CAP, max(2 * max(len(ci.starts) for ci in indexes), 2))
+    packed = np.zeros((n_genomes, L // 4), dtype=np.uint8)
+    edges = np.full((n_genomes, n_edges), L, dtype=np.int32)
+    from kaptive_tpu.ops.minimizer import contig_edges, pack_2bit
+
+    for b, ci in enumerate(indexes):
+        pb = pack_2bit(ci.codes)
+        packed[b, : len(pb)] = pb
+        eb = contig_edges(
+            ci.starts.astype(np.int64), ci.lengths.astype(np.int64), L, n_edges
+        )
+        edges[b] = eb
+
+    th, tg, tp, ts = gene_index.device_table
+    cap_mins = max(L // MIN_DENSITY_CAP, 1024)
+    cap_anchors = ANCHOR_CAP
+    out = scan_match_batch(
+        jnp.asarray(packed), jnp.asarray(edges), th, tg, tp, ts,
+        length=L, cap_mins=cap_mins, cap_anchors=cap_anchors,
+        max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
+    )
+    out = {key: np.asarray(v) for key, v in out.items()}
+
+    # Per-genome host phases: anchors -> chains -> extension problems.
+    all_chains: list[dict | None] = []
+    all_problems: list[dict | None] = []
+    for b, ci in enumerate(indexes):
+        overflow = (
+            int(out["n_minimizers"][b]) > cap_mins
+            or int(out["n_anchors"][b]) > cap_anchors
+            or 2 * len(ci.starts) > n_edges  # edge list truncated (huge contig count)
+        )
+        if overflow:
+            anchors = find_anchors(gene_index, ci.minimizers, params)  # overflow fallback
+        else:
+            valid = out["valid"][b]
+            flat_pos = out["c_flat_pos"][b][valid].astype(np.int64)
+            c_idx = np.searchsorted(ci.starts, flat_pos, side="right").astype(np.int64) - 1
+            c_pos = flat_pos - ci.starts[c_idx]
+            g_idx = out["g_idx"][b][valid].astype(np.int64)
+            g_pos = out["g_pos"][b][valid].astype(np.int64)
+            rel = np.where(
+                out["g_strand"][b][valid] == out["c_strand"][b][valid], 1, -1
+            ).astype(np.int64)
+            anchors = (g_idx, g_pos, c_idx, c_pos, rel)
+        chains = chain_anchors(*anchors, gene_index.lengths, gene_index.k, params)
+        if not chains or len(chains["gene"]) == 0:
+            all_chains.append(None)
+            all_problems.append(None)
+            continue
+        all_chains.append(chains)
+        all_problems.append(build_extension_problems(chains, gene_index, ci, params))
+
+    # One DP sweep over every chain of every genome.
+    live = [p for p in all_problems if p is not None]
+    results: list[Alignments] = []
+    if live:
+        merged = dict(
+            q_codes=np.concatenate([p["q_codes"] for p in live]),
+            q_lengths=np.concatenate([p["q_lengths"] for p in live]).astype(np.int32),
+            t_codes=np.concatenate([p["t_codes"] for p in live]),
+            t_lengths=np.concatenate([p["t_lengths"] for p in live]).astype(np.int32),
+            offsets=np.concatenate([p["offsets"] for p in live]).astype(np.int32),
+            k_locals=np.concatenate([p["k_locals"] for p in live]).astype(np.int32),
+        )
+        from kaptive_tpu.core.collections import cumulative_offsets
+
+        merged["q_offsets"] = cumulative_offsets(merged["q_lengths"])
+        merged["t_offsets"] = cumulative_offsets(merged["t_lengths"])
+        res = _run_extension_dp(merged)
+        # Split DP results back per genome.
+        counts = [len(p["q_lengths"]) if p is not None else 0 for p in all_problems]
+        bounds = np.cumsum([0] + counts)
+        from kaptive_tpu.core.pairwise import PairwiseAlignments
+
+        for b in range(n_genomes):
+            if all_problems[b] is None:
+                results.append(Alignments.empty())
+                continue
+            sl = slice(bounds[b], bounds[b + 1])
+            res_b = PairwiseAlignments(
+                res.scores[sl], res.matches[sl], res.mismatches[sl], res.gaps[sl],
+                res.q_starts[sl], res.q_ends[sl], res.t_starts[sl], res.t_ends[sl],
+            )
+            results.append(
+                _alignments_from_extension(
+                    all_chains[b], res_b, all_problems[b]["t_lo"], all_problems[b]["glen"],
+                    gene_index, genomes[b], indexes[b], gene_names, params,
+                )
+            )
+    else:
+        results = [Alignments.empty() for _ in range(n_genomes)]
+    return results

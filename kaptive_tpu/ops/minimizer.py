@@ -82,6 +82,46 @@ def concat_with_sentinels(
     return flat, starts
 
 
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    r"""Pack base codes 4-per-byte for cheap host->device transfer.
+
+    Sentinels (code 4) are packed as 0; callers reconstruct the sentinel mask
+    on device from contig boundary edges (:func:`unpack_2bit_with_edges`).
+    Length must be a multiple of 4 (bucket padding guarantees this).
+    """
+    clean = np.where(codes < 4, codes, 0).astype(np.uint8)
+    quads = clean.reshape(-1, 4)
+    return (
+        quads[:, 0] | (quads[:, 1] << 2) | (quads[:, 2] << 4) | (quads[:, 3] << 6)
+    ).astype(np.uint8)
+
+
+def unpack_2bit_with_edges(packed: jax.Array, edges: jax.Array, length: int) -> jax.Array:
+    r"""Device-side unpack: 2-bit codes + sentinel reconstruction from contig edges.
+
+    ``edges`` is the sorted interleaved array [start0, end0, start1, end1, ...]
+    of contig spans within the flat stream (padded with ``length`` pairs);
+    positions covered by an odd number of preceding edges are inside a contig.
+    """
+    p = packed.astype(jnp.uint32)
+    quads = jnp.stack(
+        [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=-1
+    ).reshape(length)
+    pos = jnp.arange(length, dtype=jnp.int32)
+    inside = (jnp.searchsorted(edges, pos, side="right") % 2) == 1
+    return jnp.where(inside, quads, SENTINEL).astype(jnp.uint8)
+
+
+def contig_edges(starts: np.ndarray, lengths: np.ndarray, flat_len: int, pad_to: int) -> np.ndarray:
+    r"""Interleaved sorted [start, end) edges of contigs in the flat stream."""
+    edges = np.empty(2 * len(starts), dtype=np.int32)
+    edges[0::2] = starts
+    edges[1::2] = starts + lengths
+    out = np.full(pad_to, flat_len, dtype=np.int32)
+    out[: len(edges)] = edges[: pad_to]
+    return out
+
+
 def _mix32(x: jax.Array) -> jax.Array:
     r"""murmur3 32-bit finalizer — invertible avalanche mixer."""
     x = x ^ (x >> jnp.uint32(16))

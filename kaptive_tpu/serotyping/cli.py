@@ -159,9 +159,14 @@ class Type(Command):
             allow_below_threshold=args.below_threshold,
             partial_edge_tolerance=args.partial_edge_tolerance,
         )
-        for genome in self.cli.progress(args.genomes, "💉 Serotyping genomes..."):
-            if result := serotyper(genome):
-                exporter(result)
+        batch_size = args.batch_size or 8
+        batches = [
+            args.genomes[i : i + batch_size] for i in range(0, len(args.genomes), batch_size)
+        ]
+        for group in self.cli.progress(batches, "💉 Serotyping genome batches..."):
+            for result in serotyper.batch(group):
+                if result:
+                    exporter(result)
 
         self.cli.msg(f"✅ Serotyping complete. Results written to '{args.out}'.")
 

@@ -78,13 +78,40 @@ class Serotyper:
         self._gene_names = tuple(str(i) for i in range(len(db.genes)))
 
     def __call__(self, genome: GenomeAssembly | str | Path) -> SerotypingResult | None:
-        genome = GenomeAssembly.ensure(genome)
+        return self.batch([genome])[0]
 
-        # Mapping phase (device): replaces rammappy map_batch (ref :147-155).
-        gene_alns = map_genes(
-            self._db.gene_index, genome, self._gene_names, self.mapper_params
+    def batch(self, genomes: list[GenomeAssembly | str | Path]) -> list[SerotypingResult | None]:
+        r"""Type a batch of assemblies with amortised device dispatches.
+
+        The mapping phase (seeding scan + table match + banded extensions) runs
+        as batched device sweeps across all assemblies, and the protein
+        identity DP of every gene hit of every assembly runs as one bucketed
+        sweep; only the tiny decision glue runs per assembly.
+        """
+        from kaptive_tpu.ops.mapper import map_genes_batch
+
+        ensured = [GenomeAssembly.ensure(g) for g in genomes]
+        alns_list = map_genes_batch(
+            self._db.gene_index, ensured, self._gene_names, self.mapper_params
         )
+        states = [self._analyze(g, alns) for g, alns in zip(ensured, alns_list)]
 
+        # Batched protein identity DP across all assemblies (ref :378-379 per genome).
+        counts = [len(st["prot_seqs"]) for st in states]
+        all_q = Sequences.concat([st["prot_seqs"] for st in states])
+        all_t = Sequences.concat(
+            [self._db.translations[st["gene_hits"].gene_indices] for st in states]  # type: ignore[misc]
+        )
+        all_alns = self._protein_aligner(all_q, all_t)
+        bounds = np.cumsum([0] + counts)
+        results = []
+        for i, st in enumerate(states):
+            pidents = all_alns.pidents[bounds[i] : bounds[i + 1]].astype(np.float32)
+            results.append(self._finalize(st, pidents))
+        return results
+
+    def _analyze(self, genome: GenomeAssembly, gene_alns) -> dict:
+        r"""Phases up to (but excluding) the protein identity DP; pure host numpy."""
         # Total coverage per gene across all alignments, for reporting (ref :157-162).
         q_indices = gene_alns.q_name_ids.astype(np.int32)
         q_lengths = gene_alns.q_aln_lens
@@ -286,10 +313,35 @@ class Serotyper:
         is_truncated = (~is_partial) & (prot_covs < 0.90)
         gene_states[is_partial] = GeneState.PARTIAL.value
         gene_states[is_truncated] = GeneState.TRUNCATED.value
-        prot_alns = self._protein_aligner(
-            prot_seqs, self._db.translations[gene_hits.gene_indices]  # type: ignore[arg-type]
+
+        return dict(
+            genome=genome,
+            gene_hits=gene_hits,
+            gene_seqs=gene_seqs,
+            prot_seqs=prot_seqs,
+            gene_states=gene_states,
+            best_locus_idx=best_locus_idx,
+            best_locus_name=best_locus_name,
+            locus_scores=locus_scores,
+            actual_locus_completeness=actual_locus_completeness,
+            length_discrepancy=length_discrepancy,
+            locus_pieces=locus_pieces,
+            locus_seqs=locus_seqs,
+            pcov=pcov,
+            missing_expected_genes=missing_expected_genes,
         )
-        prot_idents = prot_alns.pidents.astype(np.float32)
+
+    def _finalize(self, state: dict, prot_idents: np.ndarray) -> SerotypingResult:
+        r"""Phases after the protein identity DP: spurious drop, NOVEL calls,
+        phenotype rules, confidence, and result assembly."""
+        genome = state["genome"]
+        gene_hits = state["gene_hits"]
+        gene_seqs = state["gene_seqs"]
+        prot_seqs = state["prot_seqs"]
+        gene_states = state["gene_states"]
+        best_locus_idx = state["best_locus_idx"]
+        actual_locus_completeness = state["actual_locus_completeness"]
+        locus_pieces = state["locus_pieces"]
 
         # Drop spurious outside-locus homologies below threshold (ref :381-391).
         is_spurious = (~gene_hits.is_inside) & (prot_idents < self._db.metadata.id_threshold)
@@ -377,20 +429,20 @@ class Serotyper:
             database_taxon=self._db.metadata.taxon,
             genome=genome.id,
             best_locus_idx=best_locus_idx,
-            best_locus_name=best_locus_name,
-            best_locus_score=locus_scores[best_locus_idx],
+            best_locus_name=state["best_locus_name"],
+            best_locus_score=state["locus_scores"][best_locus_idx],
             best_locus_completeness=actual_locus_completeness,
-            length_discrepancy=length_discrepancy,
+            length_discrepancy=state["length_discrepancy"],
             gene_hits=gene_hits,
             gene_states=gene_states,
             locus_pieces=locus_pieces,
-            locus_seqs=locus_seqs,
+            locus_seqs=state["locus_seqs"],
             gene_seqs=gene_seqs,  # type: ignore[arg-type]
             translations=prot_seqs,  # type: ignore[arg-type]
             percent_identity=pident,
-            percent_coverage=pcov,
+            percent_coverage=state["pcov"],
             protein_identities=prot_idents,
             phenotype=base_phenotype,
             typeable=typeable,
-            missing_expected_genes=missing_expected_genes,
+            missing_expected_genes=state["missing_expected_genes"],
         )

@@ -20,13 +20,20 @@ def workdir(tmp_path_factory):
 
 
 def _run(args, cwd, **kw):
-    env = {"KAPTIVE_DB_DIR": str(cwd / "cache"), "PATH": "/usr/bin:/bin", "HOME": str(cwd)}
+    env = {
+        "KAPTIVE_DB_DIR": str(cwd / "cache"),
+        "PATH": "/usr/bin:/bin",
+        "HOME": str(cwd),
+        # CPU keeps subprocess compiles fast and deterministic; the real-device
+        # path is covered by bench runs.
+        "KAPTIVE_TPU_FORCE_CPU": "1",
+    }
     import os
 
     env.update({k: v for k, v in os.environ.items() if k not in env})
     return subprocess.run(
         [sys.executable, "-m", "kaptive_tpu.cli", *args],
-        cwd=cwd, env=env, capture_output=True, timeout=300, **kw,
+        cwd=cwd, env=env, capture_output=True, timeout=600, **kw,
     )
 
 
