@@ -91,14 +91,20 @@ def main() -> None:
     assert res[0] is not None
     print(f"# warm-up done in {time.perf_counter() - t_w:.1f}s", file=sys.stderr, flush=True)
 
+    # Timed run uses the production streaming path: host ingest threads prefetch
+    # the next batch while the device types the current one.
+    from kaptive_tpu.parallel.pipeline import stream_batches
+
+    streams = [io.BytesIO(b">c1\n%s\n" % contig) for _, _, contig in assemblies]
+    truth = [t for _, t, _ in assemblies]
     correct = 0
     t0 = time.perf_counter()
-    for i in range(0, len(assemblies), batch_size):
-        group = assemblies[i : i + batch_size]
-        gas = [make_ga(name, contig) for name, _, contig in group]
-        for (name, true_locus, _), r in zip(group, serotyper.batch(gas)):
-            if r.best_locus_name == true_locus:
+    done = 0
+    for batch in stream_batches(streams, batch_size=batch_size):
+        for r in serotyper.batch(batch):
+            if r.best_locus_name == truth[done]:
                 correct += 1
+            done += 1
     elapsed = time.perf_counter() - t0
 
     value = len(assemblies) / elapsed

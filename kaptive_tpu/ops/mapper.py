@@ -101,6 +101,38 @@ class GeneIndex:
             )
         return self._cache["table"]
 
+    @property
+    def device_lookup(self):
+        r"""Bucketed lookup acceleration structures (device-cached).
+
+        A plain ``searchsorted`` into the table costs ~18 binary-search steps
+        of random gathers per query — the dominant device cost of seeding.
+        Restricting the search to hash-prefix buckets (host-precomputed starts)
+        cuts the step count to ``ceil(log2(max bucket occupancy))``, and a
+        per-entry run-length array replaces the second (right-side) search.
+        """
+        if "lookup" not in self._cache:
+            import jax.numpy as jnp
+
+            h = self.minimizers.hashes  # sorted uint32
+            shift = BUCKET_SHIFT
+            n_buckets = 1 << (32 - shift)
+            bucket_of = (h >> np.uint32(shift)).astype(np.int64)
+            bucket_starts = np.searchsorted(bucket_of, np.arange(n_buckets + 1)).astype(np.int32)
+            occupancy = np.diff(bucket_starts)
+            iters = (
+                int(np.ceil(np.log2(max(int(occupancy.max()), 1) + 1))) + 1 if len(h) else 1
+            )
+            # Run length of each entry's hash (for hi = lo + run_len at run starts).
+            _, inv, counts = np.unique(h, return_inverse=True, return_counts=True)
+            run_len = counts[inv].astype(np.int32)
+            self._cache["lookup"] = (
+                jnp.asarray(bucket_starts),
+                jnp.asarray(run_len),
+                max(iters, 1),
+            )
+        return self._cache["lookup"]
+
 
 @dataclass(frozen=True, slots=True)
 class MapperParams:
@@ -141,6 +173,20 @@ def find_anchors(gene_index: GeneIndex, contig_mins: MinimizerSet, params: Mappe
 MIN_DENSITY_CAP = 4  # minimizer capacity = L / MIN_DENSITY_CAP (true density ~2/(w+1))
 ANCHOR_CAP = 1 << 16  # per-genome anchor capacity (transferred arrays scale with this)
 DEVICE_MAX_OCC = 1024  # per-minimizer gene-table occurrence cap in the fused device step
+BUCKET_SHIFT = 12  # hash-prefix bucket width for the device table lookup (2^20 buckets)
+
+
+def bucketed_first_ge(table_hashes, bucket_starts, queries, iters: int):
+    r"""First index in sorted ``table_hashes`` >= query, restricted per hash-prefix bucket."""
+    b = (queries >> jnp.uint32(BUCKET_SHIFT)).astype(jnp.int32)
+    lo = bucket_starts[b]
+    hi = bucket_starts[b + 1]
+    for _ in range(iters):
+        mid = (lo + hi) // 2
+        go = table_hashes[jnp.minimum(mid, table_hashes.shape[0] - 1)] < queries
+        lo = jnp.where((mid < hi) & go, mid + 1, lo)
+        hi = jnp.where((mid < hi) & ~go, mid, hi)
+    return lo
 
 
 def _scan_match_core(
@@ -150,10 +196,13 @@ def _scan_match_core(
     table_genes,  # (T,) int32
     table_pos,  # (T,) int32
     table_strands,  # (T,) bool
+    bucket_starts,  # (2^20+1,) int32 hash-prefix bucket starts
+    run_len,  # (T,) int32 run length of each entry's hash
     *,
     length: int,
     cap_mins: int,
     cap_anchors: int,
+    lookup_iters: int,
     max_occ: int = DEVICE_MAX_OCC,
     k: int = DEFAULT_K,
     w: int = DEFAULT_W,
@@ -191,9 +240,10 @@ def _scan_match_core(
     h = jnp.where(ok_min, hashes[safe_pos], jnp.uint32(0xFFFFFFFF))
     st = strands[safe_pos]
 
-    lo = jnp.searchsorted(table_hashes, h, side="left")
-    hi = jnp.searchsorted(table_hashes, h, side="right")
-    counts = jnp.where(ok_min, jnp.minimum(hi - lo, max_occ), 0)
+    lo = bucketed_first_ge(table_hashes, bucket_starts, h, lookup_iters)
+    exact = table_hashes[jnp.minimum(lo, T - 1)] == h
+    n_hits = jnp.where(exact & (lo < T), run_len[jnp.minimum(lo, T - 1)], 0)
+    counts = jnp.where(ok_min, jnp.minimum(n_hits, max_occ), 0)
 
     # Ragged expansion: anchor slot j belongs to minimizer mi with
     # within-run offset j - cum[mi]; table row = lo[mi] + within.
@@ -219,26 +269,25 @@ def _scan_match_core(
     )
 
 
-scan_match = jax.jit(
-    _scan_match_core,
-    static_argnames=("length", "cap_mins", "cap_anchors", "max_occ", "k", "w"),
-)
+_STATIC_SCAN_ARGS = ("length", "cap_mins", "cap_anchors", "lookup_iters", "max_occ", "k", "w")
+
+scan_match = jax.jit(_scan_match_core, static_argnames=_STATIC_SCAN_ARGS)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("length", "cap_mins", "cap_anchors", "max_occ", "k", "w")
-)
+@functools.partial(jax.jit, static_argnames=_STATIC_SCAN_ARGS)
 def scan_match_batch(
     packed_batch, edges_batch, table_hashes, table_genes, table_pos, table_strands,
-    *, length: int, cap_mins: int, cap_anchors: int, max_occ: int = DEVICE_MAX_OCC,
-    k: int = DEFAULT_K, w: int = DEFAULT_W,
+    bucket_starts, run_len,
+    *, length: int, cap_mins: int, cap_anchors: int, lookup_iters: int,
+    max_occ: int = DEVICE_MAX_OCC, k: int = DEFAULT_K, w: int = DEFAULT_W,
 ):
     r"""Batched fused seeding: one dispatch for a whole assembly batch."""
     return jax.vmap(
         lambda p, e: _scan_match_core(
             p, e, table_hashes, table_genes, table_pos, table_strands,
+            bucket_starts, run_len,
             length=length, cap_mins=cap_mins, cap_anchors=cap_anchors,
-            max_occ=max_occ, k=k, w=w,
+            lookup_iters=lookup_iters, max_occ=max_occ, k=k, w=w,
         )
     )(packed_batch, edges_batch)
 
@@ -268,14 +317,15 @@ def find_anchors_device(gene_index: GeneIndex, contig_index, params: MapperParam
     r"""Device seeding path: returns the same anchor arrays as :func:`find_anchors`."""
     packed, edges, L = _packed_inputs(contig_index)
     th, tg, tp, ts = gene_index.device_table
+    bs, rl, iters = gene_index.device_lookup
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
     # Anchor capacity is decoupled from the minimizer capacity: typical anchor
     # counts are 1e3-1e5 (locus region x homologous loci), and the transferred
     # arrays scale with this cap — keep it tight, grow on overflow.
     cap_anchors = ANCHOR_CAP
     out = scan_match(
-        jnp.asarray(packed), jnp.asarray(edges), th, tg, tp, ts,
-        length=L, cap_mins=cap_mins, cap_anchors=cap_anchors,
+        jnp.asarray(packed), jnp.asarray(edges), th, tg, tp, ts, bs, rl,
+        length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
         max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
     )
     out = {key: np.asarray(v) for key, v in out.items()}
@@ -583,11 +633,12 @@ def map_genes_batch(
         edges[b] = eb
 
     th, tg, tp, ts = gene_index.device_table
+    bs, rl, iters = gene_index.device_lookup
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
     cap_anchors = ANCHOR_CAP
     out = scan_match_batch(
-        jnp.asarray(packed), jnp.asarray(edges), th, tg, tp, ts,
-        length=L, cap_mins=cap_mins, cap_anchors=cap_anchors,
+        jnp.asarray(packed), jnp.asarray(edges), th, tg, tp, ts, bs, rl,
+        length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
         max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
     )
     out = {key: np.asarray(v) for key, v in out.items()}

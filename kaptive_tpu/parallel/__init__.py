@@ -8,6 +8,13 @@ selection.
 """
 
 from kaptive_tpu.parallel.mesh import make_mesh
+from kaptive_tpu.parallel.pipeline import stream_batches, stream_type
 from kaptive_tpu.parallel.screen import locus_screen_batch, sharded_locus_screen
 
-__all__ = ["locus_screen_batch", "make_mesh", "sharded_locus_screen"]
+__all__ = [
+    "locus_screen_batch",
+    "make_mesh",
+    "sharded_locus_screen",
+    "stream_batches",
+    "stream_type",
+]

@@ -1,0 +1,63 @@
+r"""Streaming batch typing: host ingest overlapped with device compute.
+
+The reference loops genomes serially (``serotyping/cli.py:206-208``).  Here a
+background thread pool parses/encodes the *next* batch of assemblies (FASTA
+parse via the native hostio library when built, 2-bit encoding, packing) while
+the device types the current batch — so CPU-side ingest never starves the TPU
+(SURVEY.md §7.4 item 6).  Multi-host runs shard input files per host and write
+result shards independently; JSONL output gives per-assembly idempotency for
+stream resume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import IO
+
+from kaptive_tpu.core.genome import GenomeAssembly
+
+
+def _load_and_index(path: str | Path | IO[bytes]) -> GenomeAssembly:
+    ga = GenomeAssembly.ensure(path)
+    ga.get_minimizer_index()  # encode + pack on the ingest thread
+    from kaptive_tpu.ops.mapper import _packed_inputs
+
+    _packed_inputs(ga.minimizer_index)
+    return ga
+
+
+def stream_batches(
+    genomes: Iterable[str | Path],
+    batch_size: int = 8,
+    prefetch_batches: int = 1,
+    max_workers: int | None = None,
+) -> Iterator[list[GenomeAssembly]]:
+    r"""Yield fully-ingested assembly batches, prefetching ahead of the consumer."""
+    genome_list = list(genomes)
+    groups = [genome_list[i : i + batch_size] for i in range(0, len(genome_list), batch_size)]
+    if not groups:
+        return
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        pending = []
+        for gi in range(min(prefetch_batches + 1, len(groups))):
+            pending.append([pool.submit(_load_and_index, g) for g in groups[gi]])
+        next_submit = len(pending)
+        for _ in range(len(groups)):
+            futures = pending.pop(0)
+            if next_submit < len(groups):
+                pending.append([pool.submit(_load_and_index, g) for g in groups[next_submit]])
+                next_submit += 1
+            yield [f.result() for f in futures]
+
+
+def stream_type(
+    serotyper,
+    genomes: Iterable[str | Path],
+    batch_size: int = 8,
+    prefetch_batches: int = 1,
+):
+    r"""Generator of SerotypingResult over a streamed, prefetched genome list."""
+    for batch in stream_batches(genomes, batch_size, prefetch_batches):
+        yield from serotyper.batch(batch)

@@ -159,14 +159,13 @@ class Type(Command):
             allow_below_threshold=args.below_threshold,
             partial_edge_tolerance=args.partial_edge_tolerance,
         )
+        from kaptive_tpu.parallel.pipeline import stream_type
+
         batch_size = args.batch_size or 8
-        batches = [
-            args.genomes[i : i + batch_size] for i in range(0, len(args.genomes), batch_size)
-        ]
-        for group in self.cli.progress(batches, "💉 Serotyping genome batches..."):
-            for result in serotyper.batch(group):
-                if result:
-                    exporter(result)
+        results = stream_type(serotyper, args.genomes, batch_size=batch_size)
+        for result in self.cli.progress(results, "💉 Serotyping genomes..."):
+            if result:
+                exporter(result)
 
         self.cli.msg(f"✅ Serotyping complete. Results written to '{args.out}'.")
 
