@@ -189,45 +189,13 @@ def bucketed_first_ge(table_hashes, bucket_starts, queries, iters: int):
     return lo
 
 
-def _scan_match_core(
-    packed,  # (L//4,) uint8 2-bit packed flat contig stream
-    edges,  # (E,) int32 interleaved contig [start,end) edges (sentinel reconstruction)
-    table_hashes,  # (T,) uint32 sorted gene minimizer hashes
-    table_genes,  # (T,) int32
-    table_pos,  # (T,) int32
-    table_strands,  # (T,) bool
-    bucket_starts,  # (2^20+1,) int32 hash-prefix bucket starts
-    run_len,  # (T,) int32 run length of each entry's hash
-    *,
-    length: int,
-    cap_mins: int,
-    cap_anchors: int,
-    lookup_iters: int,
-    max_occ: int = DEVICE_MAX_OCC,
-    k: int = DEFAULT_K,
-    w: int = DEFAULT_W,
-):
-    r"""Fused on-device seeding: minimizer scan -> compact -> gene-table match.
-
-    The full-length scan arrays never leave the device (critical on tunneled
-    TPUs where device->host bandwidth is scarce); only fixed-capacity anchor
-    arrays and overflow counters are returned.  Occurrence expansion is ragged
-    (cumsum + searchsorted over anchor slots), so memory stays
-    ``O(cap_anchors)`` and the occurrence cap can accommodate gene-table hash
-    runs from cross-locus homologs (dense all-hits semantics).
-    """
-    import jax.numpy as jnp
-
-    from kaptive_tpu.ops.minimizer import unpack_2bit_with_edges
+def _scan_compact_core(packed, valid_bits, *, length: int, cap_mins: int, k: int, w: int):
+    r"""Stage A: unpack -> minimizer scan -> fixed-capacity compaction."""
+    from kaptive_tpu.ops.minimizer import unpack_2bit_with_bits
 
     L = length
-    T = table_hashes.shape[0]
-    codes = unpack_2bit_with_edges(packed, edges, L)
+    codes = unpack_2bit_with_bits(packed, valid_bits, L)
     sel, hashes, strands = minimizer_scan(codes, k, w)
-
-    # Compact selected minimizer positions to fixed capacity via cumsum rank +
-    # scatter (jnp.nonzero with a large static size compiles pathologically
-    # slowly on some TPU toolchains; this is the same result).
     rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
     scatter_to = jnp.where(sel, jnp.minimum(rank, cap_mins), cap_mins)
     pos = (
@@ -239,16 +207,26 @@ def _scan_match_core(
     safe_pos = jnp.minimum(pos, L - 1)
     h = jnp.where(ok_min, hashes[safe_pos], jnp.uint32(0xFFFFFFFF))
     st = strands[safe_pos]
+    return pos, h, st, sel.sum()
+
+
+def _match_core(
+    pos, h, st, n_minimizers,
+    table_hashes, table_genes, table_pos, table_strands, bucket_starts, run_len,
+    *, length: int, cap_anchors: int, lookup_iters: int, max_occ: int,
+):
+    r"""Stage B: bucketed table lookup -> ragged occurrence expansion -> anchors."""
+    L = length
+    T = table_hashes.shape[0]
+    cap_mins = pos.shape[0]
+    ok_min = pos < L
 
     lo = bucketed_first_ge(table_hashes, bucket_starts, h, lookup_iters)
     exact = table_hashes[jnp.minimum(lo, T - 1)] == h
     n_hits = jnp.where(exact & (lo < T), run_len[jnp.minimum(lo, T - 1)], 0)
-    counts = jnp.where(ok_min, jnp.minimum(n_hits, max_occ), 0)
+    counts = jnp.where(ok_min, jnp.minimum(n_hits, max_occ), 0).astype(jnp.int32)
 
-    # Ragged expansion: anchor slot j belongs to minimizer mi with
-    # within-run offset j - cum[mi]; table row = lo[mi] + within.
-    counts = counts.astype(jnp.int32)
-    cum = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    cum = jnp.cumsum(counts) - counts
     total = cum[-1] + counts[-1]
     j = jnp.arange(cap_anchors, dtype=jnp.int32)
     mi = jnp.searchsorted(cum, j, side="right") - 1
@@ -264,58 +242,71 @@ def _scan_match_core(
         g_idx=jnp.where(ok_a, table_genes[ti], 0).astype(jnp.int32),
         g_pos=jnp.where(ok_a, table_pos[ti], 0).astype(jnp.int32),
         g_strand=table_strands[ti],
-        n_minimizers=sel.sum(),
+        n_minimizers=n_minimizers,
         n_anchors=total,
     )
 
 
-_STATIC_SCAN_ARGS = ("length", "cap_mins", "cap_anchors", "lookup_iters", "max_occ", "k", "w")
+_scan_compact_batch = jax.jit(
+    lambda p, e, length, cap_mins, k, w: jax.vmap(
+        lambda pp, ee: _scan_compact_core(
+            pp, ee, length=length, cap_mins=cap_mins, k=k, w=w
+        )
+    )(p, e),
+    static_argnums=(2, 3, 4, 5),
+)
 
-scan_match = jax.jit(_scan_match_core, static_argnames=_STATIC_SCAN_ARGS)
+_match_batch = jax.jit(
+    lambda pos, h, st, nm, th, tg, tp, ts, bs, rl, length, cap_anchors, iters, max_occ: jax.vmap(
+        lambda a, b, c, d: _match_core(
+            a, b, c, d, th, tg, tp, ts, bs, rl,
+            length=length, cap_anchors=cap_anchors, lookup_iters=iters, max_occ=max_occ,
+        )
+    )(pos, h, st, nm),
+    static_argnums=(10, 11, 12, 13),
+)
 
 
-@functools.partial(jax.jit, static_argnames=_STATIC_SCAN_ARGS)
 def scan_match_batch(
-    packed_batch, edges_batch, table_hashes, table_genes, table_pos, table_strands,
+    packed_batch, bits_batch, table_hashes, table_genes, table_pos, table_strands,
     bucket_starts, run_len,
     *, length: int, cap_mins: int, cap_anchors: int, lookup_iters: int,
     max_occ: int = DEVICE_MAX_OCC, k: int = DEFAULT_K, w: int = DEFAULT_W,
 ):
-    r"""Batched fused seeding: one dispatch for a whole assembly batch."""
-    return jax.vmap(
-        lambda p, e: _scan_match_core(
-            p, e, table_hashes, table_genes, table_pos, table_strands,
-            bucket_starts, run_len,
-            length=length, cap_mins=cap_mins, cap_anchors=cap_anchors,
-            lookup_iters=lookup_iters, max_occ=max_occ, k=k, w=w,
-        )
-    )(packed_batch, edges_batch)
+    r"""Batched fused seeding for a whole assembly batch.
+
+    Runs as two chained jits (scan+compact, then lookup+expand) — device
+    arrays flow between them with no host round-trip.  Keeping the stages
+    separate prevents XLA from fusing the full-length scan producer into
+    multiple consumers (which recomputes it and dominated runtime when fused).
+    """
+    pos, h, st, nm = _scan_compact_batch(
+        packed_batch, bits_batch, length, cap_mins, k, w
+    )
+    return _match_batch(
+        pos, h, st, nm, table_hashes, table_genes, table_pos, table_strands,
+        bucket_starts, run_len, length, cap_anchors, lookup_iters, max_occ,
+    )
 
 
 EDGE_CAP = 4096  # max contigs per assembly x2 in the packed-edge representation
 
 
 def _packed_inputs(contig_index) -> tuple[np.ndarray, np.ndarray, int]:
-    r"""2-bit packed stream + contig edges for device upload (cached)."""
-    from kaptive_tpu.ops.minimizer import contig_edges, pack_2bit
+    r"""2-bit packed stream + bit-packed validity mask for device upload (cached)."""
+    from kaptive_tpu.ops.minimizer import pack_2bit, pack_valid_bits
 
     if "packed" not in contig_index._cache:
-        L = int(contig_index.codes.shape[0])
         contig_index._cache["packed"] = pack_2bit(contig_index.codes)
-        contig_index._cache["edges"] = contig_edges(
-            contig_index.starts.astype(np.int64),
-            contig_index.lengths.astype(np.int64),
-            L,
-            min(EDGE_CAP, max(2 * len(contig_index.starts), 2)),
-        )
-    return contig_index._cache["packed"], contig_index._cache["edges"], int(
+        contig_index._cache["bits"] = pack_valid_bits(contig_index.codes)
+    return contig_index._cache["packed"], contig_index._cache["bits"], int(
         contig_index.codes.shape[0]
     )
 
 
 def find_anchors_device(gene_index: GeneIndex, contig_index, params: MapperParams):
     r"""Device seeding path: returns the same anchor arrays as :func:`find_anchors`."""
-    packed, edges, L = _packed_inputs(contig_index)
+    packed, bits, L = _packed_inputs(contig_index)
     th, tg, tp, ts = gene_index.device_table
     bs, rl, iters = gene_index.device_lookup
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
@@ -323,12 +314,12 @@ def find_anchors_device(gene_index: GeneIndex, contig_index, params: MapperParam
     # counts are 1e3-1e5 (locus region x homologous loci), and the transferred
     # arrays scale with this cap — keep it tight, grow on overflow.
     cap_anchors = ANCHOR_CAP
-    out = scan_match(
-        jnp.asarray(packed), jnp.asarray(edges), th, tg, tp, ts, bs, rl,
+    out = scan_match_batch(
+        jnp.asarray(packed[None]), jnp.asarray(bits[None]), th, tg, tp, ts, bs, rl,
         length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
         max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
     )
-    out = {key: np.asarray(v) for key, v in out.items()}
+    out = {key: np.asarray(v)[0] for key, v in out.items()}
     if int(out["n_minimizers"]) > cap_mins or int(out["n_anchors"]) > cap_anchors:
         # Capacity overflow (pathological repeat content): fall back to host path.
         return find_anchors(gene_index, contig_index.minimizers, params)
@@ -619,25 +610,19 @@ def map_genes_batch(
     # the host->device link is 4x smaller than raw codes; sentinels are
     # reconstructed on device from the contig edge lists).
     L = max(int(ci.codes.shape[0]) for ci in indexes)
-    n_edges = min(EDGE_CAP, max(2 * max(len(ci.starts) for ci in indexes), 2))
     packed = np.zeros((n_genomes, L // 4), dtype=np.uint8)
-    edges = np.full((n_genomes, n_edges), L, dtype=np.int32)
-    from kaptive_tpu.ops.minimizer import contig_edges, pack_2bit
-
+    bits = np.zeros((n_genomes, L // 8), dtype=np.uint8)
     for b, ci in enumerate(indexes):
-        pb = pack_2bit(ci.codes)
+        pb, vb, _ = _packed_inputs(ci)
         packed[b, : len(pb)] = pb
-        eb = contig_edges(
-            ci.starts.astype(np.int64), ci.lengths.astype(np.int64), L, n_edges
-        )
-        edges[b] = eb
+        bits[b, : len(vb)] = vb
 
     th, tg, tp, ts = gene_index.device_table
     bs, rl, iters = gene_index.device_lookup
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
     cap_anchors = ANCHOR_CAP
     out = scan_match_batch(
-        jnp.asarray(packed), jnp.asarray(edges), th, tg, tp, ts, bs, rl,
+        jnp.asarray(packed), jnp.asarray(bits), th, tg, tp, ts, bs, rl,
         length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
         max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
     )
@@ -650,7 +635,6 @@ def map_genes_batch(
         overflow = (
             int(out["n_minimizers"][b]) > cap_mins
             or int(out["n_anchors"][b]) > cap_anchors
-            or 2 * len(ci.starts) > n_edges  # edge list truncated (huge contig count)
         )
         if overflow:
             anchors = find_anchors(gene_index, ci.minimizers, params)  # overflow fallback

@@ -96,6 +96,27 @@ def pack_2bit(codes: np.ndarray) -> np.ndarray:
     ).astype(np.uint8)
 
 
+def pack_valid_bits(codes: np.ndarray) -> np.ndarray:
+    r"""Bit-pack the validity mask (code < 4) 8 positions per byte (LSB first)."""
+    valid = (codes < SENTINEL).astype(np.uint8)
+    return np.packbits(valid.reshape(-1, 8), axis=-1, bitorder="little").reshape(-1)
+
+
+def unpack_2bit_with_bits(packed: jax.Array, valid_bits: jax.Array, length: int) -> jax.Array:
+    r"""Device-side unpack: 2-bit codes + bit-packed validity mask -> code array.
+
+    Pure shift/stack/reshape work — no per-position searches — so XLA lowers it
+    to a few fused elementwise passes.
+    """
+    p = packed.astype(jnp.uint8)
+    quads = jnp.stack(
+        [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=-1
+    ).reshape(length)
+    vb = valid_bits.astype(jnp.uint8)
+    bits = jnp.stack([(vb >> i) & 1 for i in range(8)], axis=-1).reshape(length)
+    return jnp.where(bits == 1, quads, SENTINEL).astype(jnp.uint8)
+
+
 def unpack_2bit_with_edges(packed: jax.Array, edges: jax.Array, length: int) -> jax.Array:
     r"""Device-side unpack: 2-bit codes + sentinel reconstruction from contig edges.
 
