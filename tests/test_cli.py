@@ -20,17 +20,25 @@ def workdir(tmp_path_factory):
 
 
 def _run(args, cwd, **kw):
+    from pathlib import Path
+
+    repo_root = Path(__file__).resolve().parent.parent
     env = {
         "KAPTIVE_DB_DIR": str(cwd / "cache"),
         "PATH": "/usr/bin:/bin",
         "HOME": str(cwd),
+        "PYTHONPATH": str(repo_root),
         # CPU keeps subprocess compiles fast and deterministic; the real-device
-        # path is covered by bench runs.
+        # path is covered by bench runs.  JAX_PLATFORMS must be pinned because
+        # the parent env may select a TPU plugin that the stripped PYTHONPATH
+        # can no longer load.
         "KAPTIVE_TPU_FORCE_CPU": "1",
+        "JAX_PLATFORMS": "cpu",
     }
     import os
 
-    env.update({k: v for k, v in os.environ.items() if k not in env})
+    drop = {"XLA_FLAGS"}
+    env.update({k: v for k, v in os.environ.items() if k not in env and k not in drop})
     return subprocess.run(
         [sys.executable, "-m", "kaptive_tpu.cli", *args],
         cwd=cwd, env=env, capture_output=True, timeout=600, **kw,
