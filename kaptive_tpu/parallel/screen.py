@@ -152,15 +152,20 @@ def sharded_locus_screen(
         tallies = jax.lax.psum(tallies, "model")
         return _score_from_tallies(tallies, onehot, exp, gmc)
 
-    data_sharding = NamedSharding(mesh, P("data", None))
-    codes_dev = jax.device_put(jnp.asarray(codes_batch), data_sharding)
+    # device_put host numpy straight onto the mesh with explicit shardings.
+    # Never go through a default-device jnp.asarray first: the default device
+    # may be a different platform than the mesh (e.g. a real TPU while the
+    # mesh is a virtual CPU mesh), and a cross-platform reshard can stall.
+    def put(x, spec):
+        return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
+
     return step(
-        codes_dev,
-        jnp.asarray(th),
-        jnp.asarray(tg),
-        jnp.asarray(tables.gene_locus_onehot),
-        jnp.asarray(tables.expected_per_locus),
-        jnp.asarray(tables.gene_minimizer_counts),
+        put(codes_batch, P("data", None)),
+        put(th, P("model")),
+        put(tg, P("model")),
+        put(tables.gene_locus_onehot, P()),
+        put(tables.expected_per_locus, P()),
+        put(tables.gene_minimizer_counts, P()),
     )
 
 
