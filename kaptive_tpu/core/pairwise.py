@@ -285,7 +285,7 @@ def batched_swg_align(
             jnp.asarray(q_mat), jnp.asarray(ql),
             jnp.asarray(t_mat), jnp.asarray(tl),
             jnp.asarray(do), jnp.asarray(kl),
-            jnp.asarray(matrix, dtype=jnp.int32),
+            np.asarray(matrix, dtype=np.int32),
             gap_open=gap_open, gap_extend=gap_extend,
             rows_max=rows_max, w_pad=w_pad, t_pad=t_pad,
         )

@@ -237,7 +237,7 @@ def _traceback(
 @functools.partial(
     jax.jit, static_argnames=("gap_open", "gap_extend", "rows_max", "w_pad", "t_pad")
 )
-def banded_swg(
+def banded_swg_lax(
     q_codes: jax.Array,  # (B, rows_max) int32
     q_lens: jax.Array,  # (B,) int32
     t_codes: jax.Array,  # (B, Lt) int32
@@ -274,6 +274,82 @@ def banded_swg(
         return SwgResult(best, matches, mism, gaps, si, bi, sj, bj)
 
     return jax.vmap(one)(q_codes, t_codes, q_lens, t_lens, offsets, k_locals)
+
+
+def banded_swg(
+    q_codes,
+    q_lens,
+    t_codes,
+    t_lens,
+    offsets,
+    k_locals,
+    matrix,
+    *,
+    gap_open: int,
+    gap_extend: int,
+    rows_max: int,
+    w_pad: int,
+    t_pad: int,
+    impl: str | None = None,
+) -> SwgResult:
+    r"""Banded SWG front door: picks the Pallas kernel on TPU, lax elsewhere.
+
+    ``impl`` (or ``$KAPTIVE_SWG_IMPL``) forces ``"lax"`` / ``"pallas"``;
+    default ``"auto"`` uses the Pallas band-fill kernel
+    (:mod:`kaptive_tpu.ops.swg_pallas`) on the TPU backend whenever the bucket
+    shape and substitution matrix fit its contract, with identical results.
+    """
+    import os
+
+    impl = impl or os.environ.get("KAPTIVE_SWG_IMPL", "auto")
+    if impl != "lax":
+        from kaptive_tpu.ops import swg_pallas
+
+        compressed = swg_pallas.compress_matrix_cached(np.asarray(matrix))
+        # Interpret mode when tests pin the CPU backend (the axon TPU plugin
+        # leaves default_backend() == "tpu" even then, so honour the env flag).
+        interpret = (
+            os.environ.get("KAPTIVE_TPU_INTERPRET") == "1"
+            or jax.default_backend() != "tpu"
+        )
+        ok = swg_pallas.pallas_compatible(
+            int(q_codes.shape[0]), rows_max, w_pad, compressed
+        )
+        if ok and (impl == "pallas" or not interpret):
+            row_lut, col_lut, small = compressed
+            return swg_pallas.banded_swg_pallas(
+                jnp.asarray(q_codes),
+                jnp.asarray(q_lens, dtype=jnp.int32),
+                jnp.asarray(t_codes),
+                jnp.asarray(t_lens, dtype=jnp.int32),
+                jnp.asarray(offsets, dtype=jnp.int32),
+                jnp.asarray(k_locals, dtype=jnp.int32),
+                jnp.asarray(row_lut),
+                jnp.asarray(col_lut),
+                jnp.asarray(small),
+                gap_open=gap_open,
+                gap_extend=gap_extend,
+                rows_max=rows_max,
+                w_pad=w_pad,
+                t_pad=t_pad,
+                n_row=small.shape[0],
+                n_col=small.shape[1],
+                interpret=interpret,
+            )
+    return banded_swg_lax(
+        jnp.asarray(q_codes),
+        jnp.asarray(q_lens, dtype=jnp.int32),
+        jnp.asarray(t_codes),
+        jnp.asarray(t_lens, dtype=jnp.int32),
+        jnp.asarray(offsets, dtype=jnp.int32),
+        jnp.asarray(k_locals, dtype=jnp.int32),
+        jnp.asarray(matrix, dtype=jnp.int32),
+        gap_open=gap_open,
+        gap_extend=gap_extend,
+        rows_max=rows_max,
+        w_pad=w_pad,
+        t_pad=t_pad,
+    )
 
 
 # Host-facing helpers ---------------------------------------------------------------------------------------------------
