@@ -600,6 +600,8 @@ def map_genes_batch(
     from every assembly run as one bucketed DP sweep — dispatch and transfer
     latency (dominant on tunneled TPUs) is paid once per batch, not per genome.
     """
+    from kaptive_tpu.utils.profiling import phase_timer
+
     params = params or MapperParams()
     indexes = [g.get_minimizer_index() for g in genomes]
     n_genomes = len(genomes)
@@ -609,28 +611,32 @@ def map_genes_batch(
     # Stack 2-bit packed code streams to a common bucket width (transfer over
     # the host->device link is 4x smaller than raw codes; sentinels are
     # reconstructed on device from the contig edge lists).
-    L = max(int(ci.codes.shape[0]) for ci in indexes)
-    packed = np.zeros((n_genomes, L // 4), dtype=np.uint8)
-    bits = np.zeros((n_genomes, L // 8), dtype=np.uint8)
-    for b, ci in enumerate(indexes):
-        pb, vb, _ = _packed_inputs(ci)
-        packed[b, : len(pb)] = pb
-        bits[b, : len(vb)] = vb
+    with phase_timer("map.pack_upload"):
+        L = max(int(ci.codes.shape[0]) for ci in indexes)
+        packed = np.zeros((n_genomes, L // 4), dtype=np.uint8)
+        bits = np.zeros((n_genomes, L // 8), dtype=np.uint8)
+        for b, ci in enumerate(indexes):
+            pb, vb, _ = _packed_inputs(ci)
+            packed[b, : len(pb)] = pb
+            bits[b, : len(vb)] = vb
 
     th, tg, tp, ts = gene_index.device_table
     bs, rl, iters = gene_index.device_lookup
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
     cap_anchors = ANCHOR_CAP
-    out = scan_match_batch(
-        jnp.asarray(packed), jnp.asarray(bits), th, tg, tp, ts, bs, rl,
-        length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
-        max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
-    )
-    out = {key: np.asarray(v) for key, v in out.items()}
+    with phase_timer("map.scan_match"):
+        out = scan_match_batch(
+            jnp.asarray(packed), jnp.asarray(bits), th, tg, tp, ts, bs, rl,
+            length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
+            max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
+        )
+        out = {key: np.asarray(v) for key, v in out.items()}
 
     # Per-genome host phases: anchors -> chains -> extension problems.
     all_chains: list[dict | None] = []
     all_problems: list[dict | None] = []
+    chain_timer = phase_timer("map.chain_host")
+    chain_timer.__enter__()
     for b, ci in enumerate(indexes):
         overflow = (
             int(out["n_minimizers"][b]) > cap_mins
@@ -656,6 +662,7 @@ def map_genes_batch(
             continue
         all_chains.append(chains)
         all_problems.append(build_extension_problems(chains, gene_index, ci, params))
+    chain_timer.__exit__(None, None, None)
 
     # One DP sweep over every chain of every genome.
     live = [p for p in all_problems if p is not None]
@@ -673,7 +680,8 @@ def map_genes_batch(
 
         merged["q_offsets"] = cumulative_offsets(merged["q_lengths"])
         merged["t_offsets"] = cumulative_offsets(merged["t_lengths"])
-        res = _run_extension_dp(merged)
+        with phase_timer("map.extension_dp"):
+            res = _run_extension_dp(merged)
         # Split DP results back per genome.
         counts = [len(p["q_lengths"]) if p is not None else 0 for p in all_problems]
         bounds = np.cumsum([0] + counts)

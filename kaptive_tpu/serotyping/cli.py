@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from typing import Any
 
 import numpy as np
@@ -143,6 +144,11 @@ class Type(Command):
             "--batch-size", type=int, default=0, metavar="",
             help="Assemblies typed per device batch; 0 = auto (default: %(default)s)",
         )
+        opts.add_argument(
+            "--profile", action="store_true",
+            help="Print per-phase wall-time totals to stderr after the run "
+            "(set KAPTIVE_TRACE_DIR to also capture a jax.profiler device trace)",
+        )
 
     def __call__(self, args: argparse.Namespace) -> None:
         self.cli.msg(f"💽 Loading database {args.database}...")
@@ -160,13 +166,19 @@ class Type(Command):
             partial_edge_tolerance=args.partial_edge_tolerance,
         )
         from kaptive_tpu.parallel.pipeline import stream_type
+        from kaptive_tpu.utils.profiling import device_trace, phase_report
 
+        if args.profile:
+            os.environ["KAPTIVE_PROFILE"] = "1"
         batch_size = args.batch_size or 8
-        results = stream_type(serotyper, args.genomes, batch_size=batch_size)
-        for result in self.cli.progress(results, "💉 Serotyping genomes..."):
-            if result:
-                exporter(result)
+        with device_trace():
+            results = stream_type(serotyper, args.genomes, batch_size=batch_size)
+            for result in self.cli.progress(results, "💉 Serotyping genomes..."):
+                if result:
+                    exporter(result)
 
+        if args.profile:
+            phase_report()
         self.cli.msg(f"✅ Serotyping complete. Results written to '{args.out}'.")
 
 

@@ -89,25 +89,31 @@ class Serotyper:
         sweep; only the tiny decision glue runs per assembly.
         """
         from kaptive_tpu.ops.mapper import map_genes_batch
+        from kaptive_tpu.utils.profiling import phase_timer
 
-        ensured = [GenomeAssembly.ensure(g) for g in genomes]
-        alns_list = map_genes_batch(
-            self._db.gene_index, ensured, self._gene_names, self.mapper_params
-        )
-        states = [self._analyze(g, alns) for g, alns in zip(ensured, alns_list)]
+        with phase_timer("type.ingest"):
+            ensured = [GenomeAssembly.ensure(g) for g in genomes]
+        with phase_timer("type.map"):
+            alns_list = map_genes_batch(
+                self._db.gene_index, ensured, self._gene_names, self.mapper_params
+            )
+        with phase_timer("type.analyze"):
+            states = [self._analyze(g, alns) for g, alns in zip(ensured, alns_list)]
 
         # Batched protein identity DP across all assemblies (ref :378-379 per genome).
-        counts = [len(st["prot_seqs"]) for st in states]
-        all_q = Sequences.concat([st["prot_seqs"] for st in states])
-        all_t = Sequences.concat(
-            [self._db.translations[st["gene_hits"].gene_indices] for st in states]  # type: ignore[misc]
-        )
-        all_alns = self._protein_aligner(all_q, all_t)
-        bounds = np.cumsum([0] + counts)
-        results = []
-        for i, st in enumerate(states):
-            pidents = all_alns.pidents[bounds[i] : bounds[i + 1]].astype(np.float32)
-            results.append(self._finalize(st, pidents))
+        with phase_timer("type.protein_dp"):
+            counts = [len(st["prot_seqs"]) for st in states]
+            all_q = Sequences.concat([st["prot_seqs"] for st in states])
+            all_t = Sequences.concat(
+                [self._db.translations[st["gene_hits"].gene_indices] for st in states]  # type: ignore[misc]
+            )
+            all_alns = self._protein_aligner(all_q, all_t)
+        with phase_timer("type.finalize"):
+            bounds = np.cumsum([0] + counts)
+            results = []
+            for i, st in enumerate(states):
+                pidents = all_alns.pidents[bounds[i] : bounds[i + 1]].astype(np.float32)
+                results.append(self._finalize(st, pidents))
         return results
 
     def _analyze(self, genome: GenomeAssembly, gene_alns) -> dict:
