@@ -72,8 +72,12 @@ def build_fixtures():
 def main() -> None:
     import io
 
+    os.environ.setdefault("KAPTIVE_PROFILE", "1")  # bench always reports the phase table
+
     from kaptive_tpu.core.genome import GenomeAssembly
     from kaptive_tpu.serotyping import Serotyper
+
+    from kaptive_tpu.utils.profiling import phase_report, reset_phases
 
     db, assemblies = build_fixtures()
     serotyper = Serotyper(db)
@@ -90,6 +94,7 @@ def main() -> None:
     res = serotyper.batch(warm)
     assert res[0] is not None
     print(f"# warm-up done in {time.perf_counter() - t_w:.1f}s", file=sys.stderr, flush=True)
+    reset_phases()  # warm-up compile time must not pollute the phase table
 
     # Timed run uses the production streaming path: host ingest threads prefetch
     # the next batch while the device types the current one.
@@ -106,6 +111,7 @@ def main() -> None:
                 correct += 1
             done += 1
     elapsed = time.perf_counter() - t0
+    phase_report()  # where the time goes (always printed to stderr)
 
     value = len(assemblies) / elapsed
     print(

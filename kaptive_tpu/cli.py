@@ -73,19 +73,41 @@ class CliHelpFormatter(argparse.RawTextHelpFormatter):
         return result
 
 
+def _closest_choice(message: str) -> str | None:
+    r"""Extract the misspelled choice from an argparse error and fuzzy-match it
+    against the offered alternatives; returns the best candidate, if any."""
+    bad = re.search(r"invalid choice: '?([^']+)'?", message)
+    offered = re.search(r"\(choose from (.*)\)", message)
+    if not (bad and offered):
+        return None
+    from difflib import get_close_matches
+
+    candidates = [c.strip(" '\"") for c in offered.group(1).split(",")]
+    hits = get_close_matches(bad.group(1), candidates, n=1)
+    return hits[0] if hits else None
+
+
 class HelpOnErrorParser(argparse.ArgumentParser):
-    r"""Parser printing full help plus close-match suggestions on error."""
+    r"""Parser that shows full help plus a fuzzy suggestion when parsing fails."""
 
     def error(self, message: str) -> None:  # type: ignore[override]
-        if match := re.search(r"invalid choice: '?([^']+)'? \(choose from (.*)\)", message):
-            invalid = match.group(1)
-            choices = [c.strip("'").strip() for c in match.group(2).split(", ")]
-            from difflib import get_close_matches
-
-            if matches := get_close_matches(invalid, choices):
-                message += f"\n    💡 Did you mean '{Colors.wrap(matches[0], Colors.BOLD_CYAN)}'?"
         self.print_help(sys.stderr)
-        self.exit(2, f"\n{Colors.wrap('❌ Error:', Colors.BOLD_RED)} {message}\n")
+        lines = [f"{Colors.wrap('Error:', Colors.BOLD_RED)} {message}"]
+        if suggestion := _closest_choice(message):
+            lines.append(f"  hint: did you mean {Colors.wrap(suggestion, Colors.BOLD_CYAN)}?")
+        self.exit(2, "\n" + "\n".join(lines) + "\n")
+
+
+def _rename_option_group(parser: argparse.ArgumentParser, demote: bool) -> None:
+    r"""Retitle argparse's default optionals group; ``demote`` moves it last in
+    the help output so command-specific groups print first."""
+    group = getattr(parser, "_optionals", None)
+    if group is None:
+        return
+    group.title = Colors.wrap("General options", Colors.BOLD)
+    if demote and group in parser._action_groups:
+        parser._action_groups.remove(group)
+        parser._action_groups.append(group)
 
 
 class Cli:
@@ -111,11 +133,10 @@ class Cli:
             version=f"%(prog)s {__version__}",
             help="Show program's version number and exit",
         )
-        if hasattr(self.parser, "_optionals"):
-            self.parser._optionals.title = Colors.wrap("🌎 Global options", Colors.BOLD)
+        _rename_option_group(self.parser, demote=False)
 
         self.subparsers = self.parser.add_subparsers(
-            title=Colors.wrap("💬 Commands", Colors.BOLD), dest="command", required=True
+            title=Colors.wrap("Commands", Colors.BOLD), dest="command", required=True
         )
         self._open_handles: list[IO] = []
 
@@ -187,7 +208,13 @@ class Cli:
             print(file=sys.stderr)
 
     def open_file(self, file: str, mode: str = "rb") -> IO:
-        if file == "-" or file == "stdout":
+        r"""Open a path, or pass through the standard streams: ``-`` means
+        stdin when reading and stdout when writing; ``stdin``/``stdout`` name
+        them explicitly.  Real files are tracked for cleanup."""
+        reading = "r" in mode
+        if file == "stdin" or (file == "-" and reading):
+            return sys.stdin.buffer if "b" in mode else sys.stdin
+        if file == "stdout" or (file == "-" and not reading):
             return sys.stdout.buffer if "b" in mode else sys.stdout
         handle = open(file, mode)
         self._open_handles.append(handle)
@@ -274,44 +301,44 @@ class Command(ABC):
     def __call__(self, args: argparse.Namespace) -> None:
         pass
 
+    @property
+    def _runnable(self) -> bool:
+        r"""Whether this command has its own action (vs being a pure group)."""
+        return type(self).__call__ is not Command.__call__
+
     def build(
         self,
         subparsers: argparse._SubParsersAction,
         parent_parsers: list[argparse.ArgumentParser] | None = None,
     ) -> None:
-        parents = parent_parsers or []
+        inherited = list(parent_parsers or [])
         self.parser = subparsers.add_parser(
             name=self.name,
             aliases=self.aliases,
             description=Colors.wrap(self.description, Colors.BOLD),
             help=self.help_text or self.description,
-            parents=parents,
+            parents=inherited,
             formatter_class=CliHelpFormatter,
         )
         self.setup_arguments()
-
-        if hasattr(self.parser, "_optionals"):
-            self.parser._optionals.title = Colors.wrap("🌎 Global options", Colors.BOLD)
-            groups = self.parser._action_groups
-            if self.parser._optionals in groups:
-                groups.append(groups.pop(groups.index(self.parser._optionals)))
-
-        if type(self).__call__ != Command.__call__:
+        _rename_option_group(self.parser, demote=True)
+        if self._runnable:
             self.parser.set_defaults(func=self.__call__)
-
         if self.subcommands:
-            is_required = type(self).__call__ == Command.__call__
-            sub_action = self.parser.add_subparsers(
-                title=Colors.wrap(f"'{self.name}' subcommands", Colors.BOLD),
-                dest=f"{self.name}_subcommand",
-                required=is_required,
-            )
-            child_parents = parents.copy()
-            if shared := self.get_shared_parser():
-                child_parents.append(shared)
-            for cmd in self.subcommands:
-                cmd.cli = self.cli
-                cmd.build(sub_action, parent_parsers=child_parents)
+            self._wire_children(inherited)
+
+    def _wire_children(self, inherited: list[argparse.ArgumentParser]) -> None:
+        r"""Attach child commands; a pure command group requires one of them."""
+        registry = self.parser.add_subparsers(
+            title=Colors.wrap(f"{self.name} subcommands", Colors.BOLD),
+            dest=f"{self.name}_subcommand",
+            required=not self._runnable,
+        )
+        if shared := self.get_shared_parser():
+            inherited = [*inherited, shared]
+        for child in self.subcommands:
+            child.cli = self.cli
+            child.build(registry, parent_parsers=inherited)
 
 
 def main() -> None:

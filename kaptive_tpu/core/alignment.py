@@ -413,19 +413,34 @@ class Alignments:
             md=self.md[item],
         )
 
+    def _rank_order(self, extra_primary_key: np.ndarray | None = None) -> npt.NDArray[np.int32]:
+        r"""Visit order for selection/culling: score desc, then matches, then
+        MAPQ, earliest record on full ties; an optional leading key (smaller
+        first) takes precedence over everything."""
+        keys: list[np.ndarray] = [
+            -self.qualities.astype(np.int32),
+            -self.matches,
+            -self.scores,
+        ]
+        if extra_primary_key is not None:
+            keys.append(extra_primary_key)
+        return np.lexsort(tuple(keys)).astype(np.int32)
+
     def best(self, by_query: bool = True) -> Alignments:
-        r"""Best alignment per query/target by (score, matches, MAPQ) (ref ``alignment.py:606-641``)."""
-        if (n := len(self)) == 0:
+        r"""Keep only each query's (or target's) top-ranked alignment.
+
+        Ranking follows :meth:`_rank_order`; surviving records keep their
+        original relative order.  (Semantics of ref ``alignment.py:606-641``.)
+        """
+        if len(self) == 0:
             return self
-        name_ints = self.q_name_ids if by_query else self.t_name_ids
-        order = np.lexsort((-self.qualities, -self.matches, -self.scores, name_ints))
-        name_sorted = name_ints[order]
-        first_occurrence_mask = np.empty(n, dtype=bool)
-        first_occurrence_mask[0] = True
-        first_occurrence_mask[1:] = name_sorted[1:] != name_sorted[:-1]
-        best_indices = order[first_occurrence_mask]
-        best_indices.sort()
-        return self[best_indices]  # type: ignore[return-value]
+        from kaptive_tpu.core.collections import group_leaders
+
+        group = self.q_name_ids if by_query else self.t_name_ids
+        winners = group_leaders(
+            group, (self.scores, self.matches, self.qualities.astype(np.int32))
+        )
+        return self[np.sort(winners)]  # type: ignore[return-value]
 
     def cull_overlaps(
         self,
@@ -434,50 +449,37 @@ class Alignments:
         priority_mask: np.ndarray | None = None,
         by_query: bool = True,
     ) -> Alignments:
-        r"""Greedy culling of overlapping lower-priority alignments (ref ``alignment.py:643-686``)."""
+        r"""Drop alignments nested under better ones on the same sequence.
+
+        Greedy: records are visited best-first (priority records before all
+        others, then :meth:`_rank_order`); a record survives unless it
+        overlaps an already-kept record on the same (sequence, group) by more
+        than ``max_overlap_fraction`` of the shorter span.  (Semantics of ref
+        ``alignment.py:643-686``.)
+        """
         if (n := len(self)) < 2:
             return self
-        name_ints = self.q_name_ids if by_query else self.t_name_ids
-        scores = self.scores.astype(np.float64)
-        if priority_mask is not None:
-            scores[priority_mask] += 1e9
-        order = np.lexsort((-self.qualities, -self.matches, -scores)).astype(np.int32)
-        if group_by is None:
-            group_by = np.zeros(n, dtype=np.int32)
-        kept_mask = self.to_intervals(by_query=by_query).cull_overlaps(
-            order=order,
+        lead = None if priority_mask is None else ~np.asarray(priority_mask, dtype=bool)
+        kept = self.to_intervals(by_query=by_query).cull_overlaps(
+            order=self._rank_order(lead),
             max_overlap_fraction=max_overlap_fraction,
-            group_by=name_ints,
+            group_by=self.q_name_ids if by_query else self.t_name_ids,
             secondary_group_by=group_by,
         )
-        return self[kept_mask]  # type: ignore[return-value]
+        return self[kept]  # type: ignore[return-value]
+
+    _SWAP_FIELDS = (
+        ("q_name_ids", "t_name_ids"), ("q_names_dict", "t_names_dict"),
+        ("q_lengths", "t_lengths"), ("q_starts", "t_starts"), ("q_ends", "t_ends"),
+    )
 
     def swap_sides(self) -> Alignments:
-        return Alignments(
-            q_name_ids=self.t_name_ids,
-            q_names_dict=self.t_names_dict,
-            q_lengths=self.t_lengths,
-            q_starts=self.t_starts,
-            q_ends=self.t_ends,
-            t_name_ids=self.q_name_ids,
-            t_names_dict=self.q_names_dict,
-            t_lengths=self.q_lengths,
-            t_starts=self.q_starts,
-            t_ends=self.q_ends,
-            strands=self.strands,
-            lengths=self.lengths,
-            matches=self.matches,
-            mismatches=self.mismatches,
-            scores=self.scores,
-            qualities=self.qualities,
-            cigars=self.cigars.swap_sides(),
-            is_primary=self.is_primary,
-            is_supplementary=self.is_supplementary,
-            is_spliced=self.is_spliced,
-            divergence=self.divergence,
-            cs=self.cs,
-            md=self.md,
-        )
+        r"""Exchange query and target roles (CIGAR I/D ops swap accordingly)."""
+        values = {f: getattr(self, f) for f in self.__dataclass_fields__}
+        for qf, tf in self._SWAP_FIELDS:
+            values[qf], values[tf] = values[tf], values[qf]
+        values["cigars"] = self.cigars.swap_sides()
+        return Alignments(**values)
 
     @classmethod
     def empty(cls) -> Alignments:
@@ -517,17 +519,29 @@ class Alignments:
             original_indices=np.arange(len(self), dtype=np.int32),
         )
 
+    def _clips(self) -> tuple[npt.NDArray[np.int32], npt.NDArray[np.int32]]:
+        r"""Unaligned query bases facing the target's left / right end.
+
+        On ``+`` the query head faces the target's left end; on ``-`` the
+        roles flip.
+        """
+        fwd = self.strands == 1
+        head = self.q_starts
+        tail = self.q_lengths - self.q_ends
+        return np.where(fwd, head, tail), np.where(fwd, tail, head)
+
     def is_partial_left(self, edge_tolerance: int = 0) -> npt.NDArray[np.bool_]:
-        return (self.t_starts <= edge_tolerance) & np.where(
-            self.strands == 1, self.q_starts > 0, self.q_ends < self.q_lengths
-        )
+        r"""Alignment runs off the contig's left edge with query sequence to spare."""
+        left_clip, _ = self._clips()
+        return (self.t_starts <= edge_tolerance) & (left_clip > 0)
 
     def is_partial_right(self, edge_tolerance: int = 0) -> npt.NDArray[np.bool_]:
-        return (self.t_ends >= self.t_lengths - edge_tolerance) & np.where(
-            self.strands == 1, self.q_ends < self.q_lengths, self.q_starts > 0
-        )
+        r"""Alignment runs off the contig's right edge with query sequence to spare."""
+        _, right_clip = self._clips()
+        return (self.t_ends >= self.t_lengths - edge_tolerance) & (right_clip > 0)
 
     def is_partial(self, edge_tolerance: int = 0) -> npt.NDArray[np.bool_]:
+        r"""Alignment truncated by either contig edge (ref edge semantics)."""
         return self.is_partial_left(edge_tolerance) | self.is_partial_right(edge_tolerance)
 
     @classmethod

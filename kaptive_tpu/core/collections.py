@@ -74,3 +74,24 @@ def ragged_gather_indices(
         return base + within, out_offsets, out_lengths
     step = np.repeat(np.asarray(steps, dtype=np.int64), out_lengths)
     return base + step * within, out_offsets, out_lengths
+
+
+def group_leaders(
+    group_keys: npt.NDArray[np.integer],
+    rank_columns: tuple[npt.NDArray[Any], ...],
+) -> npt.NDArray[np.int64]:
+    r"""Row index of the single top-ranked row per distinct group key.
+
+    Rows sharing a group key are ranked by ``rank_columns`` in order (larger
+    wins); any remaining tie goes to the earliest row.  Returns leader row
+    indices ordered by ascending group key.  Callers must pass signed/float
+    rank columns (unsigned dtypes would wrap under negation).
+    """
+    n = len(group_keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    sort_keys = tuple(-np.asarray(c) for c in reversed(rank_columns)) + (group_keys,)
+    ranked = np.lexsort(sort_keys)
+    at_front = np.ones(n, dtype=bool)
+    at_front[1:] = group_keys[ranked][1:] != group_keys[ranked][:-1]
+    return ranked[at_front].astype(np.int64)

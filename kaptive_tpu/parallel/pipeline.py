@@ -52,12 +52,28 @@ def stream_batches(
             yield [f.result() for f in futures]
 
 
+def auto_batch_size(per_device: int = 8) -> int:
+    r"""Default assemblies per device batch: ``per_device`` x local device count.
+
+    The mapper's device sweeps vmap over the batch axis, so throughput rises
+    with batch until device memory (packed contigs + anchor buffers) binds;
+    8 x 5 Mb assemblies per chip is comfortably inside a v5e's HBM.
+    """
+    try:
+        import jax
+
+        return per_device * max(jax.local_device_count(), 1)
+    except Exception:
+        return per_device
+
+
 def stream_type(
     serotyper,
     genomes: Iterable[str | Path],
     batch_size: int = 8,
     prefetch_batches: int = 1,
+    max_workers: int | None = None,
 ):
     r"""Generator of SerotypingResult over a streamed, prefetched genome list."""
-    for batch in stream_batches(genomes, batch_size, prefetch_batches):
+    for batch in stream_batches(genomes, batch_size, prefetch_batches, max_workers=max_workers):
         yield from serotyper.batch(batch)

@@ -134,7 +134,8 @@ class Type(Command):
         opts = self.parser.add_argument_group(Colors.wrap("🔧 Other options", Colors.BOLD))
         opts.add_argument(
             "-t", "--threads", type=int, default=0, metavar="",
-            help="Number threads or 0 for all available (default: 0)",
+            help="Host ingest threads (FASTA parse/encode/pack) or 0 for all available "
+            "(default: 0)",
         )
         opts.add_argument(
             "--partial-edge-tolerance", type=int, default=5, metavar="",
@@ -170,9 +171,14 @@ class Type(Command):
 
         if args.profile:
             os.environ["KAPTIVE_PROFILE"] = "1"
-        batch_size = args.batch_size or 8
+        from kaptive_tpu.parallel.pipeline import auto_batch_size
+
+        batch_size = args.batch_size or auto_batch_size()
         with device_trace():
-            results = stream_type(serotyper, args.genomes, batch_size=batch_size)
+            results = stream_type(
+                serotyper, args.genomes, batch_size=batch_size,
+                max_workers=args.threads or None,
+            )
             for result in self.cli.progress(results, "💉 Serotyping genomes..."):
                 if result:
                     exporter(result)
@@ -192,7 +198,8 @@ class Convert(Command):
     def setup_arguments(self) -> None:
         opts = self.parser.add_argument_group(Colors.wrap("📥 Inputs", Colors.BOLD))
         opts.add_argument(
-            "jsonl", default="stdin", help="Serialised results in JSON-lines format (default: stdin)"
+            "jsonl", nargs="?", default="stdin",
+            help="Serialised results in JSON-lines format (default: stdin; '-' also accepted)",
         )
         opts = self.parser.add_argument_group(Colors.wrap("📤 Outputs", Colors.BOLD))
         self.add_output_arguments(opts, tsv_flags=("-t", "--tsv"), include_json=False)

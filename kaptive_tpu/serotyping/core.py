@@ -1,24 +1,18 @@
-r"""The serotyping engine: map, score, reconstruct, classify, phenotype, call confidence.
+r"""The serotyping engine: map, score, reconstruct, classify, phenotype, call.
 
-Capability parity with ``/root/reference/src/kaptive/serotyping/core.py``: the
-``Serotyper`` four-phase pipeline (:124-486) with identical decision logic —
+Capability parity with ``/root/reference/src/kaptive/serotyping/core.py`` (the
+``Serotyper`` four-phase pipeline, :124-486) with the same knobs and decision
+semantics, re-architected for TPU batching:
 
-- **Mapping & scoring** (:164-207): coverage filter >= ``min_gene_coverage``,
-  best hit per gene by (q_cov, score) lexsort, locus score = sum of best
-  expected-gene coverages, completeness-cubed weighting, argmax best locus.
-- **Reconstruction** (:209-329): overlap culling with best-locus priority,
-  spatial clustering with ``max_locus_length`` tolerance, piece bounding boxes
-  from primary expected hits, strict ``is_inside`` recompute, missing genes.
-- **Gene state & identity** (:351-396): frame-compensated translation with
-  ``to_stop``, PARTIAL at contig edges, TRUNCATED < 90% protein coverage,
-  device protein DP identities, spurious-outside drop, NOVEL below threshold.
-- **Phenotype & confidence** (:398-459): active-cluster mask, vectorised rule
-  evaluation, replacement/suffix by priority, typeability rules.
+- the mapping phase is the device mapper (:mod:`kaptive_tpu.ops.mapper`,
+  replacing the rammappy call at ref :147-155), batched over assemblies;
+- every decision phase runs **once per batch** over a flat hit table
+  (:mod:`kaptive_tpu.serotyping.analysis`), not once per genome;
+- the protein-identity DP for every surviving hit of every assembly is one
+  bucketed device sweep (:mod:`kaptive_tpu.ops.swg`).
 
-The device work is the mapper (:mod:`kaptive_tpu.ops.mapper` — replaces the
-rammappy call at ref :147-155) and the protein identity DP
-(:mod:`kaptive_tpu.ops.swg`); the decision glue operates on arrays of at most
-a few hundred hits and stays host-side numpy with reference-exact ordering.
+Only sequence extraction against each genome's own contigs and final
+result-object assembly iterate per assembly.
 """
 
 from __future__ import annotations
@@ -32,13 +26,28 @@ from kaptive_tpu.core.genome import GenomeAssembly
 from kaptive_tpu.core.pairwise import PairwiseAligner
 from kaptive_tpu.core.seq import Sequences
 from kaptive_tpu.db import Database
-from kaptive_tpu.ops.mapper import MapperParams, map_genes
+from kaptive_tpu.ops.mapper import MapperParams
+from kaptive_tpu.serotyping.analysis import (
+    HitTable,
+    call_typeability,
+    edge_partial_mask,
+    pick_best_loci,
+    reconstruct_loci,
+    resolve_phenotypes,
+)
 from kaptive_tpu.serotyping.models import (
     GeneHits,
     GeneState,
     LocusPieces,
     SerotypingResult,
 )
+
+
+def _byte_vocab(strings, pad: int = 0) -> np.ndarray:
+    r"""Encode a string vocabulary as a fixed-width bytes array sized to fit."""
+    encoded = [s.encode("utf-8") for s in strings]
+    width = max((len(b) for b in encoded), default=1) + pad
+    return np.array(encoded, dtype=f"S{max(width, 1)}")
 
 
 class Serotyper:
@@ -65,390 +74,223 @@ class Serotyper:
         self.partial_edge_tolerance = partial_edge_tolerance
         self._protein_aligner = PairwiseAligner()
 
-        # Expected-genes-per-locus weights (ref :102-108).
-        self._expected_genes_per_locus = np.zeros(len(db.loci), dtype=np.float32)
-        np.add.at(
-            self._expected_genes_per_locus,
-            db.gene_locus_indices[~db.extra_genes],
-            1.0,
-        )
-        self._expected_genes_per_locus = np.maximum(self._expected_genes_per_locus, 1.0)
-
-        # Gene name table for mapper output (stringified DB indices, ref :111-122).
+        # String vocabularies as width-fitted byte arrays for fast fancy-index
+        # construction of GeneHits (the reference re-encodes per hit per call).
+        self._gene_id_bytes = _byte_vocab(db.genes.ids)
+        self._cluster_bytes = _byte_vocab(db.cluster_keys)
+        self._descr_bytes = _byte_vocab(db.description_keys)
+        # Mapper q_names convention: stringified DB gene indices.
         self._gene_names = tuple(str(i) for i in range(len(db.genes)))
 
     def __call__(self, genome: GenomeAssembly | str | Path) -> SerotypingResult | None:
         return self.batch([genome])[0]
 
     def batch(self, genomes: list[GenomeAssembly | str | Path]) -> list[SerotypingResult | None]:
-        r"""Type a batch of assemblies with amortised device dispatches.
-
-        The mapping phase (seeding scan + table match + banded extensions) runs
-        as batched device sweeps across all assemblies, and the protein
-        identity DP of every gene hit of every assembly runs as one bucketed
-        sweep; only the tiny decision glue runs per assembly.
-        """
+        r"""Type a batch of assemblies with batch-amortised device dispatches."""
         from kaptive_tpu.ops.mapper import map_genes_batch
         from kaptive_tpu.utils.profiling import phase_timer
 
+        db = self._db
+        n_asm = len(genomes)
+        if n_asm == 0:
+            return []
+
         with phase_timer("type.ingest"):
-            ensured = [GenomeAssembly.ensure(g) for g in genomes]
+            assemblies = [GenomeAssembly.ensure(g) for g in genomes]
         with phase_timer("type.map"):
             alns_list = map_genes_batch(
-                self._db.gene_index, ensured, self._gene_names, self.mapper_params
+                db.gene_index, assemblies, self._gene_names, self.mapper_params
             )
-        with phase_timer("type.analyze"):
-            states = [self._analyze(g, alns) for g, alns in zip(ensured, alns_list)]
 
-        # Batched protein identity DP across all assemblies (ref :378-379 per genome).
+        with phase_timer("type.decide"):
+            table = HitTable.from_alignments(alns_list)
+            pick = pick_best_loci(db, table, n_asm, self.min_gene_coverage)
+            recon = reconstruct_loci(db, table, pick, n_asm)
+            hits = recon.hits
+            bounds = np.searchsorted(hits.asm, np.arange(n_asm + 1))
+            piece_bounds = np.searchsorted(recon.piece_asm, np.arange(n_asm + 1))
+
+        # --- sequence extraction (per assembly: contigs differ) + one batched
+        # translation with frame compensation and stop-codon cut (ref :352-360).
+        with phase_timer("type.extract"):
+            gene_seq_parts: list[Sequences] = []
+            locus_seq_parts: list[Sequences] = []
+            for a, genome in enumerate(assemblies):
+                rows = slice(bounds[a], bounds[a + 1])
+                gene_seq_parts.append(
+                    genome.contigs.extract_intervals(
+                        hits.ctg[rows].astype(np.uint32),
+                        _t_intervals(hits, rows),
+                        new_ids=tuple(db.genes.ids[i] for i in hits.gene[rows]),
+                    )
+                )
+                p = slice(piece_bounds[a], piece_bounds[a + 1])
+                if piece_bounds[a + 1] > piece_bounds[a]:
+                    locus_seq_parts.append(
+                        genome.contigs.extract(
+                            recon.piece_ctg[p].astype(np.int32),
+                            recon.piece_lo[p].astype(np.int32),
+                            recon.piece_hi[p].astype(np.int32),
+                            recon.piece_orient[p],
+                        )
+                    )
+                else:
+                    locus_seq_parts.append(Sequences.empty())
+            gene_seqs = Sequences.concat(gene_seq_parts)
+            frames = (-hits.q_start) % 3
+            prot_seqs = gene_seqs.translate(frames=frames, to_stop=True)
+
+        # --- gene states before identity: contig-edge partials, then
+        # truncation below 90% translated coverage (ref :362-377).
+        partial = edge_partial_mask(hits, self.partial_edge_tolerance)
+        ref_nt_len = db.genes.lengths[hits.gene]
+        prot_covs = (prot_seqs.lengths * 3.0) / ref_nt_len
+        states = np.where(
+            partial,
+            GeneState.PARTIAL.value,
+            np.where(prot_covs < 0.90, GeneState.TRUNCATED.value, GeneState.NORMAL.value),
+        ).astype(np.int8)
+        coverages = np.clip(prot_covs * 100.0, 0.0, 100.0).astype(np.float32)
+
+        # --- protein identity DP: every hit of every assembly, one sweep.
         with phase_timer("type.protein_dp"):
-            counts = [len(st["prot_seqs"]) for st in states]
-            all_q = Sequences.concat([st["prot_seqs"] for st in states])
-            all_t = Sequences.concat(
-                [self._db.translations[st["gene_hits"].gene_indices] for st in states]  # type: ignore[misc]
-            )
-            all_alns = self._protein_aligner(all_q, all_t)
+            prot_alns = self._protein_aligner(prot_seqs, db.translations[hits.gene])
+            pidents = prot_alns.pidents.astype(np.float32)
+
         with phase_timer("type.finalize"):
-            bounds = np.cumsum([0] + counts)
-            results = []
-            for i, st in enumerate(states):
-                pidents = all_alns.pidents[bounds[i] : bounds[i + 1]].astype(np.float32)
-                results.append(self._finalize(st, pidents))
+            # Spurious outside-locus homologies below the identity threshold
+            # vanish from the result entirely (ref :381-391).
+            keep = recon.is_inside | (pidents >= db.metadata.id_threshold)
+            if not keep.all():
+                hits = hits.take(keep)
+                gene_seqs = gene_seqs[keep]  # type: ignore[assignment]
+                prot_seqs = prot_seqs[keep]  # type: ignore[assignment]
+                states = states[keep]
+                pidents = pidents[keep]
+                coverages = coverages[keep]
+                is_expected = recon.is_expected[keep]
+                is_extra = recon.is_extra[keep]
+                is_inside = recon.is_inside[keep]
+                bounds = np.searchsorted(hits.asm, np.arange(n_asm + 1))
+            else:
+                is_expected, is_extra, is_inside = (
+                    recon.is_expected, recon.is_extra, recon.is_inside,
+                )
+
+            # Full-length hits under the identity threshold are NOVEL (ref :393-394).
+            states[(states == GeneState.NORMAL.value) & (pidents < db.metadata.id_threshold)] = (
+                GeneState.NOVEL.value
+            )
+
+            # Phenotype rules over the whole batch (ref :398-442).
+            intact = (states == GeneState.NORMAL.value) | (states == GeneState.PARTIAL.value)
+            active = np.zeros((n_asm, len(db.cluster_keys)), dtype=bool)
+            active[hits.asm[intact], db.gene_cluster_ids[hits.gene[intact]]] = True
+            phenotypes = resolve_phenotypes(db, pick.best_locus, active)
+
+            # Typeability (ref :444-459).
+            intruding = is_inside & ~is_expected & ~is_extra
+            unexpected_counts = np.zeros(n_asm, dtype=np.int64)
+            np.add.at(
+                unexpected_counts,
+                hits.asm[intruding & (states != GeneState.TRUNCATED.value)],
+                1,
+            )
+            inside_novel = np.zeros(n_asm, dtype=bool)
+            inside_novel[hits.asm[is_inside & (states == GeneState.NOVEL.value)]] = True
+            typeable = call_typeability(
+                completeness=recon.found_completeness,
+                min_completeness=self.min_completeness,
+                unexpected_counts=unexpected_counts,
+                max_other_genes=self.max_other_genes,
+                has_inside_novel=inside_novel,
+                allow_below_threshold=self.allow_below_threshold,
+            )
+
+            results = [
+                self._assemble_result(
+                    assemblies[a], a, pick, recon, hits,
+                    slice(bounds[a], bounds[a + 1]),
+                    slice(piece_bounds[a], piece_bounds[a + 1]),
+                    gene_seqs, prot_seqs, states, pidents, coverages,
+                    is_expected, is_extra, is_inside,
+                    locus_seq_parts[a], phenotypes[a], bool(typeable[a]),
+                )
+                for a in range(n_asm)
+            ]
         return results
 
-    def _analyze(self, genome: GenomeAssembly, gene_alns) -> dict:
-        r"""Phases up to (but excluding) the protein identity DP; pure host numpy."""
-        # Total coverage per gene across all alignments, for reporting (ref :157-162).
-        q_indices = gene_alns.q_name_ids.astype(np.int32)
-        q_lengths = gene_alns.q_aln_lens
-        total_q_covs = np.zeros(len(self._db.genes), dtype=np.float32)
-        np.add.at(total_q_covs, q_indices, q_lengths)
-        total_q_covs /= self._db.genes.lengths
-
-        # Scoring phase (ref :164-207) --------------------------------------------------------------------------------
-        q_covs = gene_alns.q_covs
-        valid_cov_mask = q_covs >= self.min_gene_coverage
-
-        valid_alns = gene_alns[valid_cov_mask]
-        valid_q_covs = q_covs[valid_cov_mask]
-        valid_gene_indices = valid_alns.q_name_ids.astype(np.int32)
-
-        order = np.lexsort((-valid_alns.scores, -valid_q_covs, valid_gene_indices))
-        valid_gene_indices = valid_gene_indices[order]
-        valid_q_covs = valid_q_covs[order]
-
-        _, unique_indices = np.unique(valid_gene_indices, return_index=True)
-        best_gene_indices = valid_gene_indices[unique_indices]
-        best_q_covs = valid_q_covs[unique_indices]
-
-        valid_locus_indices = self._db.gene_locus_indices[best_gene_indices]
-        valid_not_extra = ~self._db.extra_genes[best_gene_indices]
-
-        locus_scores = np.zeros(len(self._db.loci), dtype=np.float64)
-        np.add.at(
-            locus_scores,
-            valid_locus_indices[valid_not_extra],
-            best_q_covs[valid_not_extra],
-        )
-
-        locus_counts = np.zeros(len(self._db.loci), dtype=np.float32)
-        matched_expected_genes = best_gene_indices[valid_not_extra]
-        np.add.at(locus_counts, self._db.gene_locus_indices[matched_expected_genes], 1.0)
-
-        locus_completeness = locus_counts / self._expected_genes_per_locus
-        final_locus_scores = locus_scores * (locus_completeness**3)
-
-        self._last_scores = final_locus_scores.copy()
-        self._last_completeness = locus_completeness.copy()
-
-        best_locus_idx = int(np.argmax(final_locus_scores))
-        best_locus_name = self._db.loci.ids[best_locus_idx]
-
-        # Reconstruction phase (ref :209-329) -------------------------------------------------------------------------
-        valid_alns = gene_alns
-
-        valid_indices = valid_alns.q_name_ids.astype(np.int32)
-        priority_mask = self._db.gene_locus_indices[valid_indices] == best_locus_idx
-
-        culled_alns = valid_alns.cull_overlaps(
-            by_query=False, priority_mask=priority_mask, max_overlap_fraction=0.1
-        )
-
-        culled_gene_indices = culled_alns.q_name_ids.astype(np.int32)
-        t_indices = culled_alns.t_name_ids.astype(np.uint32)
-        culled_intervals = culled_alns.to_intervals(by_query=False)
-        piece_ids = culled_intervals.cluster_spatial(
-            tolerance=self._db.max_locus_length, group_by=t_indices
-        )
-
-        is_expected = (
-            self._db.gene_locus_indices[culled_gene_indices] == best_locus_idx
-        ) & ~self._db.extra_genes[culled_gene_indices]
-        valid_cluster_ids = np.unique(piece_ids[is_expected])
-        is_extra = self._db.extra_genes[culled_gene_indices]
-
-        coverages = np.clip(total_q_covs[culled_gene_indices] * 100.0, 0.0, 100.0)
-
-        # Primary hit per expected gene for bounding boxes (ref :236-245).
-        primary_expected = np.zeros(len(culled_alns), dtype=bool)
-        is_expected_hits = np.where(is_expected)[0]
-        if len(is_expected_hits) > 0:
-            exp_gene_indices = culled_gene_indices[is_expected_hits]
-            exp_scores = culled_alns.scores[is_expected_hits]
-            order = np.lexsort((-exp_scores, exp_gene_indices))
-            sorted_exp_gene_indices = exp_gene_indices[order]
-            _, unique_indices = np.unique(sorted_exp_gene_indices, return_index=True)
-            best_hits = is_expected_hits[order[unique_indices]]
-            primary_expected[best_hits] = True
-
-        l_ctg_indices, l_starts, l_ends, l_strands = [], [], [], []
-        l_expected_means = []
-        for c_id in valid_cluster_ids:
-            piece_mask = piece_ids == c_id
-            piece_primary = piece_mask & primary_expected
-            if np.any(piece_primary):
-                ctg_idx = t_indices[piece_mask][0]
-                l_ctg_indices.append(ctg_idx)
-                l_starts.append(np.min(culled_intervals.starts[piece_primary]))
-                l_ends.append(np.max(culled_intervals.ends[piece_primary]))
-                exp_genes = culled_gene_indices[piece_primary]
-                l_expected_means.append(np.mean(self._db.gene_positions[exp_genes]))
-                exp_strands = self._db.gene_intervals.strands[exp_genes]
-                found_strands = culled_alns.strands[piece_primary]
-                l_strands.append(-1 if np.sum(found_strands * exp_strands) < 0 else 1)
-
-        # Strict is_inside recompute against piece bounding boxes (ref :272-279).
-        is_inside = np.zeros(len(culled_alns), dtype=bool)
-        for ctg_idx, start, end in zip(l_ctg_indices, l_starts, l_ends):
-            on_ctg = t_indices == ctg_idx
-            is_inside |= on_ctg & (culled_intervals.starts <= end) & (culled_intervals.ends >= start)
-
-        piece_order = np.argsort(l_expected_means)
-        locus_pieces = LocusPieces(
-            ctg_indices=np.array(l_ctg_indices, dtype=np.uint32)[piece_order],
-            starts=np.array(l_starts, dtype=np.int32)[piece_order],
-            ends=np.array(l_ends, dtype=np.int32)[piece_order],
-            strands=np.array(l_strands, dtype=np.int8)[piece_order],
-        )
-
-        expected_genes_mask = (
-            self._db.gene_locus_indices == best_locus_idx
-        ) & ~self._db.extra_genes
-        expected_gene_indices = np.where(expected_genes_mask)[0]
-        found_expected_gene_indices = culled_gene_indices[is_expected & is_inside]
-        missing_indices = np.setdiff1d(
-            expected_gene_indices, found_expected_gene_indices, assume_unique=False
-        )
-        missing_expected_genes = tuple(self._db.genes.ids[i] for i in missing_indices)
-
-        actual_locus_completeness = (
-            1.0 - (len(missing_indices) / len(expected_gene_indices))
-            if len(expected_gene_indices) > 0
-            else 1.0
-        )
+    def _assemble_result(
+        self, genome, a, pick, recon, hits, rows, pieces,
+        gene_seqs, prot_seqs, states, pidents, coverages,
+        is_expected, is_extra, is_inside, locus_seqs, phenotype, typeable,
+    ) -> SerotypingResult:
+        db = self._db
+        best = int(pick.best_locus[a])
 
         gene_hits = GeneHits(
-            gene_indices=culled_gene_indices,
-            q_starts=culled_alns.q_starts,
-            q_ends=culled_alns.q_ends,
-            t_indices=t_indices,
-            t_starts=culled_alns.t_starts,
-            t_ends=culled_alns.t_ends,
-            strands=culled_alns.strands,
-            is_expected=is_expected,
-            is_inside=is_inside,
-            is_extra=is_extra,
-            expected_positions=self._db.gene_positions[culled_gene_indices].astype(np.int32),
-            expected_strands=self._db.gene_intervals.strands[culled_gene_indices],
-            gene_ids=np.array(
-                [self._db.genes.ids[i].encode("utf-8") for i in culled_gene_indices], dtype="S32"
-            ),
-            cluster_names=np.array(
-                [
-                    self._db.cluster_keys[self._db.gene_cluster_ids[i]].encode("utf-8")
-                    for i in culled_gene_indices
-                ],
-                dtype="S10",
-            ),
-            product_descriptions=np.array(
-                [
-                    self._db.description_keys[self._db.gene_description_ids[i]].encode("utf-8")
-                    for i in culled_gene_indices
-                ],
-                dtype="S64",
-            ),
-            coverages=coverages,
+            gene_indices=hits.gene[rows],
+            q_starts=hits.q_start[rows],
+            q_ends=hits.q_end[rows],
+            t_indices=hits.ctg[rows].astype(np.uint32),
+            t_starts=hits.t_start[rows],
+            t_ends=hits.t_end[rows],
+            strands=hits.strand[rows],
+            is_expected=is_expected[rows],
+            is_inside=is_inside[rows],
+            is_extra=is_extra[rows],
+            expected_positions=db.gene_positions[hits.gene[rows]].astype(np.int32),
+            expected_strands=db.gene_intervals.strands[hits.gene[rows]],
+            gene_ids=self._gene_id_bytes[hits.gene[rows]],
+            cluster_names=self._cluster_bytes[db.gene_cluster_ids[hits.gene[rows]]],
+            product_descriptions=self._descr_bytes[db.gene_description_ids[hits.gene[rows]]],
+            coverages=coverages[rows],
+        )
+        locus_pieces = LocusPieces(
+            ctg_indices=recon.piece_ctg[pieces].astype(np.uint32),
+            starts=recon.piece_lo[pieces].astype(np.int32),
+            ends=recon.piece_hi[pieces].astype(np.int32),
+            strands=recon.piece_orient[pieces],
         )
 
-        # Locus extraction phase (ref :331-349) -----------------------------------------------------------------------
-        if len(locus_pieces) > 0:
-            locus_seqs = genome.contigs.extract(
-                locus_pieces.ctg_indices.astype(np.int32),
-                locus_pieces.starts,
-                locus_pieces.ends,
-                locus_pieces.strands,
-            )
-        else:
-            locus_seqs = Sequences.empty()
+        span_found = int(np.sum(recon.piece_hi[pieces] - recon.piece_lo[pieces]))
+        span_ref = int(db.loci.lengths[best])
+        pcov = min(100.0, span_found / span_ref * 100.0) if span_ref > 0 else 0.0
+        discrepancy = float(span_found - span_ref) if len(locus_pieces) == 1 else float("nan")
 
-        assem_len = np.sum(locus_pieces.ends - locus_pieces.starts)
-        ref_len = self._db.loci.lengths[best_locus_idx]
-        pcov = float(min(100.0, (assem_len / ref_len) * 100.0)) if ref_len > 0 else 0.0
-        if len(locus_pieces) == 1:
-            length_discrepancy = float(assem_len - ref_len)
-        else:
-            length_discrepancy = float("nan")
+        intact = pidents[rows][states[rows] == GeneState.NORMAL.value]
+        pident = float(np.mean(intact)) if intact.size else 0.0
 
-        # Gene state phase (ref :351-396) -----------------------------------------------------------------------------
-        gene_seqs = genome.contigs.extract_intervals(
-            gene_hits.t_indices,
-            gene_hits.t_intervals,
-            new_ids=tuple(self._db.genes.ids[i] for i in gene_hits.gene_indices),
-        )
-        # Translate with frame compensation; stop at first stop codon so
-        # frameshifts don't drag down the upstream identity (ref :357-360).
-        prot_seqs = gene_seqs.translate(frames=gene_hits.frames, to_stop=True)
-
-        gene_states = np.full(len(gene_hits), GeneState.NORMAL.value, dtype=np.int8)
-        is_partial = culled_alns.is_partial(self.partial_edge_tolerance)
-        db_gene_lengths = self._db.genes.lengths[gene_hits.gene_indices]
-
-        prot_covs = (prot_seqs.lengths * 3.0) / db_gene_lengths
-        gene_hits.coverages[:] = np.clip(prot_covs * 100.0, 0.0, 100.0)
-
-        is_truncated = (~is_partial) & (prot_covs < 0.90)
-        gene_states[is_partial] = GeneState.PARTIAL.value
-        gene_states[is_truncated] = GeneState.TRUNCATED.value
-
-        return dict(
-            genome=genome,
-            gene_hits=gene_hits,
-            gene_seqs=gene_seqs,
-            prot_seqs=prot_seqs,
-            gene_states=gene_states,
-            best_locus_idx=best_locus_idx,
-            best_locus_name=best_locus_name,
-            locus_scores=locus_scores,
-            actual_locus_completeness=actual_locus_completeness,
-            length_discrepancy=length_discrepancy,
-            locus_pieces=locus_pieces,
-            locus_seqs=locus_seqs,
-            pcov=pcov,
-            missing_expected_genes=missing_expected_genes,
-        )
-
-    def _finalize(self, state: dict, prot_idents: np.ndarray) -> SerotypingResult:
-        r"""Phases after the protein identity DP: spurious drop, NOVEL calls,
-        phenotype rules, confidence, and result assembly."""
-        genome = state["genome"]
-        gene_hits = state["gene_hits"]
-        gene_seqs = state["gene_seqs"]
-        prot_seqs = state["prot_seqs"]
-        gene_states = state["gene_states"]
-        best_locus_idx = state["best_locus_idx"]
-        actual_locus_completeness = state["actual_locus_completeness"]
-        locus_pieces = state["locus_pieces"]
-
-        # Drop spurious outside-locus homologies below threshold (ref :381-391).
-        is_spurious = (~gene_hits.is_inside) & (prot_idents < self._db.metadata.id_threshold)
-        if np.any(is_spurious):
-            keep_mask = ~is_spurious
-            gene_hits = gene_hits[keep_mask]
-            gene_seqs = gene_seqs[keep_mask]  # type: ignore[assignment]
-            prot_seqs = prot_seqs[keep_mask]  # type: ignore[assignment]
-            gene_states = gene_states[keep_mask]
-            prot_idents = prot_idents[keep_mask]
-
-        below_threshold = (gene_states == GeneState.NORMAL.value) & (
-            prot_idents < self._db.metadata.id_threshold
-        )
-        gene_states[below_threshold] = GeneState.NOVEL.value
-        valid_pidents = prot_idents[gene_states == GeneState.NORMAL.value]
-        pident = float(np.mean(valid_pidents)) if valid_pidents.size > 0 else 0.0
-
-        # Phenotype evaluation phase (ref :398-442) -------------------------------------------------------------------
-        base_phenotype = self._db.serotypes[best_locus_idx]
-        phenotypes = self._db.phenotypes
-
-        if len(phenotypes) > 0:
-            q_active = np.zeros(len(self._db.cluster_keys), dtype=bool)
-            is_active = (gene_states == GeneState.NORMAL.value) | (
-                gene_states == GeneState.PARTIAL.value
-            )
-            if np.any(is_active):
-                active_clusters = self._db.gene_cluster_ids[gene_hits.gene_indices[is_active]]
-                q_active[active_clusters] = True
-
-            locus_match = phenotypes.locus_masks[:, best_locus_idx]
-            q_active_int = q_active.astype(np.int8)
-            extra_match = np.dot(phenotypes.extra_masks, q_active_int) == phenotypes.extra_counts
-
-            has_inactive_rule = phenotypes.inactive_masks.sum(axis=1) > 0
-
-            expected_mask = np.zeros(len(self._db.cluster_keys), dtype=np.int8)
-            offset = self._db.locus_gene_offsets[best_locus_idx]
-            length = self._db.locus_gene_lengths[best_locus_idx]
-            expected_clusters = self._db.gene_cluster_ids[offset : offset + length]
-            expected_mask[expected_clusters] = 1
-
-            applicable_inactive_masks = phenotypes.inactive_masks & expected_mask
-            has_applicable_inactive = applicable_inactive_masks.sum(axis=1) > 0
-
-            q_inactive_int = (~q_active).astype(np.int8)
-            inactive_hits = np.dot(applicable_inactive_masks, q_inactive_int)
-
-            inactive_match = (~has_inactive_rule) | (has_applicable_inactive & (inactive_hits > 0))
-
-            if np.any(valid_mask := locus_match & extra_match & inactive_match):
-                valid_rule_indices = np.where(valid_mask)[0]
-                is_suffix = phenotypes.as_suffix[valid_rule_indices]
-
-                if len(replacements := valid_rule_indices[~is_suffix]) > 0:
-                    best_rep_idx = replacements[np.argmax(phenotypes.priorities[replacements])]
-                    base_phenotype = phenotypes.ids[best_rep_idx].decode("utf-8")
-
-                if len(suffixes := valid_rule_indices[is_suffix]) > 0:
-                    sorted_suffixes = suffixes[np.argsort(-phenotypes.priorities[suffixes])]
-                    suffix_strs = [phenotypes.ids[i].decode("utf-8") for i in sorted_suffixes]
-                    base_phenotype = f"{base_phenotype}{''.join(suffix_strs)}"
-
-        # Confidence evaluation phase (ref :444-459) ------------------------------------------------------------------
-        typeable = True
-        if actual_locus_completeness < self.min_completeness:
-            typeable = False
-
-        is_unexpected = gene_hits.is_inside & ~gene_hits.is_expected & ~gene_hits.is_extra
-        is_not_truncated = gene_states != GeneState.TRUNCATED.value
-        unexpected_count = np.count_nonzero(is_unexpected & is_not_truncated)
-        if unexpected_count > self.max_other_genes:
-            typeable = False
-
-        if not self.allow_below_threshold:
-            if np.any(gene_hits.is_inside & (gene_states == GeneState.NOVEL.value)):
-                typeable = False
+        missing = tuple(db.genes.ids[i] for i in np.flatnonzero(recon.missing_mask[a]))
 
         return SerotypingResult(
             kaptive_version=__version__,
-            database_name=self._db.metadata.name,
-            database_version=self._db.metadata.version,
-            database_organism=self._db.metadata.organism,
-            database_taxon=self._db.metadata.taxon,
+            database_name=db.metadata.name,
+            database_version=db.metadata.version,
+            database_organism=db.metadata.organism,
+            database_taxon=db.metadata.taxon,
             genome=genome.id,
-            best_locus_idx=best_locus_idx,
-            best_locus_name=state["best_locus_name"],
-            best_locus_score=state["locus_scores"][best_locus_idx],
-            best_locus_completeness=actual_locus_completeness,
-            length_discrepancy=state["length_discrepancy"],
+            best_locus_idx=best,
+            best_locus_name=db.loci.ids[best],
+            best_locus_score=float(pick.raw_scores[a, best]),
+            best_locus_completeness=float(recon.found_completeness[a]),
+            length_discrepancy=discrepancy,
             gene_hits=gene_hits,
-            gene_states=gene_states,
+            gene_states=states[rows],
             locus_pieces=locus_pieces,
-            locus_seqs=state["locus_seqs"],
-            gene_seqs=gene_seqs,  # type: ignore[arg-type]
-            translations=prot_seqs,  # type: ignore[arg-type]
+            locus_seqs=locus_seqs,
+            gene_seqs=gene_seqs[rows],  # type: ignore[arg-type]
+            translations=prot_seqs[rows],  # type: ignore[arg-type]
             percent_identity=pident,
-            percent_coverage=state["pcov"],
-            protein_identities=prot_idents,
-            phenotype=base_phenotype,
+            percent_coverage=pcov,
+            protein_identities=pidents[rows],
+            phenotype=phenotype,
             typeable=typeable,
-            missing_expected_genes=state["missing_expected_genes"],
+            missing_expected_genes=missing,
         )
+
+
+def _t_intervals(hits: HitTable, rows: slice):
+    from kaptive_tpu.core.interval import Intervals
+
+    return Intervals(hits.t_start[rows], hits.t_end[rows], hits.strand[rows])

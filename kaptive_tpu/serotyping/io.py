@@ -18,6 +18,37 @@ import numpy as np
 
 from kaptive_tpu.serotyping.models import GeneState, SerotypingProblem, SerotypingResult
 
+# Gene-state annotations appended to per-gene detail entries; NORMAL is untagged.
+_STATE_TAGS = {
+    GeneState.PARTIAL.value: b",partial",
+    GeneState.TRUNCATED.value: b",truncated",
+    GeneState.NOVEL.value: b",below_id_threshold",
+}
+
+
+def _detail_cell(result: SerotypingResult, mask: np.ndarray) -> bytes:
+    r"""``gene,id%,cov%[,state]`` entries for the selected hits, ``;``-joined."""
+    entries = []
+    for i in np.flatnonzero(mask):
+        entry = b"%s,%.2f%%,%.2f%%" % (
+            result.gene_seqs.ids[i].encode("utf-8"),
+            result.protein_identities[i],
+            result.gene_hits.coverages[i],
+        )
+        entries.append(entry + _STATE_TAGS.get(int(result.gene_states[i]), b""))
+    return b";".join(entries)
+
+
+def _tally_cell(found: int, roster: int) -> bytes:
+    r"""``found / roster (pct%)`` against the expected-gene roster size."""
+    if roster <= 0:
+        return b"0 / 0 (0.00%)"
+    return b"%d / %d (%.2f%%)" % (found, roster, found / roster * 100.0)
+
+
+def _discrepancy_cell(value: float | None) -> bytes:
+    return b"n/a" if value is None or np.isnan(value) else b"%d" % int(value)
+
 
 @dataclass(slots=True, frozen=True)
 class ReportRow(ABC):
@@ -99,56 +130,21 @@ class KaptiveRow(ReportRow):
     @classmethod
     def from_result(cls, result: SerotypingResult) -> "KaptiveRow":
         hits = result.gene_hits
-        states = result.gene_states
-
-        in_loc = hits.is_inside
-        out_loc = ~hits.is_inside
-        exp = hits.is_expected
-        extra = hits.is_extra
-        unexp = ~exp & ~extra
-
-        def _format_genes(mask: np.ndarray) -> bytes:
-            indices = np.where(mask)[0]
-            if indices.size == 0:
-                return b""
-            details = []
-            for i in indices:
-                gene_name = result.gene_seqs.ids[i].encode("utf-8")
-                parts = [
-                    gene_name,
-                    b"%.2f%%" % result.protein_identities[i],
-                    b"%.2f%%" % result.gene_hits.coverages[i],
-                ]
-                if states[i] == GeneState.PARTIAL.value:
-                    parts.append(b"partial")
-                elif states[i] == GeneState.TRUNCATED.value:
-                    parts.append(b"truncated")
-                elif states[i] == GeneState.NOVEL.value:
-                    parts.append(b"below_id_threshold")
-                details.append(b",".join(parts))
-            return b";".join(details)
-
-        mask_exp_in = in_loc & exp
-        n_exp_in = len(np.unique(result.gene_hits.gene_indices[mask_exp_in]))
-        mask_exp_out = out_loc & exp
-        n_exp_out = len(np.unique(result.gene_hits.gene_indices[mask_exp_out]))
-        expected_total = n_exp_in + n_exp_out + len(result.missing_expected_genes)
-
-        in_comp = (n_exp_in / expected_total * 100.0) if expected_total > 0 else 0.0
-        exp_in_str = (
-            b"%d / %d (%.2f%%)" % (n_exp_in, expected_total, in_comp)
-            if expected_total
-            else b"0 / 0 (0.00%)"
+        category = {  # hit partition: (inside?, expected/other/extra)
+            ("in", "exp"): hits.is_inside & hits.is_expected,
+            ("out", "exp"): ~hits.is_inside & hits.is_expected,
+            ("in", "other"): hits.is_inside & ~hits.is_expected & ~hits.is_extra,
+            ("out", "other"): ~hits.is_inside & ~hits.is_expected & ~hits.is_extra,
+        }
+        distinct = {
+            key: len(np.unique(hits.gene_indices[mask])) for key, mask in category.items()
+        }
+        roster_size = distinct["in", "exp"] + distinct["out", "exp"] + len(
+            result.missing_expected_genes
         )
-        out_comp = (n_exp_out / expected_total * 100.0) if expected_total > 0 else 0.0
-        exp_out_str = (
-            b"%d / %d (%.2f%%)" % (n_exp_out, expected_total, out_comp)
-            if expected_total
-            else b"0 / 0 (0.00%)"
+        broken = np.isin(
+            result.gene_states, (GeneState.TRUNCATED.value, GeneState.PARTIAL.value)
         )
-
-        n_unexp_in = len(np.unique(result.gene_hits.gene_indices[in_loc & unexp]))
-        n_unexp_out = len(np.unique(result.gene_hits.gene_indices[out_loc & unexp]))
 
         return cls(
             Kaptive_version=result.kaptive_version.encode(),
@@ -161,22 +157,20 @@ class KaptiveRow(ReportRow):
             Problems=result.problems.to_symbols(),
             Identity=b"%.2f%%" % result.percent_identity,
             Coverage=b"%.2f%%" % result.percent_coverage,
-            Length_discrepancy=b"n/a"
-            if (result.length_discrepancy is None or np.isnan(result.length_discrepancy))
-            else b"%d" % int(result.length_discrepancy),
-            Expected_genes_in_locus=exp_in_str,
-            Expected_genes_in_locus_details=_format_genes(mask_exp_in),
-            Missing_expected_genes=b";".join(g.encode("utf-8") for g in result.missing_expected_genes),
-            Other_genes_in_locus=b"%d" % n_unexp_in,
-            Other_genes_in_locus_details=_format_genes(in_loc & unexp),
-            Expected_genes_outside_locus=exp_out_str,
-            Expected_genes_outside_locus_details=_format_genes(mask_exp_out),
-            Other_genes_outside_locus=b"%d" % n_unexp_out,
-            Other_genes_outside_locus_details=_format_genes(out_loc & unexp),
-            Truncated_genes_details=_format_genes(
-                (states == GeneState.TRUNCATED.value) | (states == GeneState.PARTIAL.value)
+            Length_discrepancy=_discrepancy_cell(result.length_discrepancy),
+            Expected_genes_in_locus=_tally_cell(distinct["in", "exp"], roster_size),
+            Expected_genes_in_locus_details=_detail_cell(result, category["in", "exp"]),
+            Missing_expected_genes=b";".join(
+                name.encode("utf-8") for name in result.missing_expected_genes
             ),
-            Extra_genes_details=_format_genes(extra),
+            Other_genes_in_locus=b"%d" % distinct["in", "other"],
+            Other_genes_in_locus_details=_detail_cell(result, category["in", "other"]),
+            Expected_genes_outside_locus=_tally_cell(distinct["out", "exp"], roster_size),
+            Expected_genes_outside_locus_details=_detail_cell(result, category["out", "exp"]),
+            Other_genes_outside_locus=b"%d" % distinct["out", "other"],
+            Other_genes_outside_locus_details=_detail_cell(result, category["out", "other"]),
+            Truncated_genes_details=_detail_cell(result, broken),
+            Extra_genes_details=_detail_cell(result, hits.is_extra),
         )
 
 

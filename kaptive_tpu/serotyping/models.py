@@ -25,6 +25,17 @@ if TYPE_CHECKING:
     from kaptive_tpu.compare import LocusData
 
 
+def _as_bytes_array(val: Any) -> npt.NDArray[np.bytes_]:
+    r"""Encode strings/bytes to a fixed-width bytes array sized to the data."""
+    if isinstance(val, np.ndarray) and val.dtype.kind in ("S", "a"):
+        return val
+    items = list(val) if not isinstance(val, np.ndarray) else val.tolist()
+    encoded = [x.encode("utf-8") if isinstance(x, str) else bytes(x) for x in items]
+    if not encoded:
+        return np.empty(0, dtype="S1")
+    return np.array(encoded, dtype=np.bytes_)
+
+
 class GeneState(IntEnum):
     r"""Mutually exclusive classification of a locus gene found in an assembly."""
 
@@ -85,22 +96,14 @@ class GeneHits:
     coverages: npt.NDArray[np.float32]
 
     def __post_init__(self) -> None:
-        for field_name, dtype in (
-            ("gene_ids", "S32"),
-            ("cluster_names", "S10"),
-            ("product_descriptions", "S64"),
-        ):
+        # Coerce string-ish inputs to width-fitted bytes arrays.  Widths adapt
+        # to the data (the reference hardcodes S32/S10/S64, silently truncating
+        # long gene ids / cluster names / products — ref ``models.py:96-364``).
+        for field_name in ("gene_ids", "cluster_names", "product_descriptions"):
             val = getattr(self, field_name)
-            if not isinstance(val, np.ndarray) or val.dtype.kind not in ("S", "a"):
-                if isinstance(val, np.ndarray) and val.dtype.kind == "U":
-                    encoded = [x.encode("utf-8") for x in val.flat]
-                    arr = np.array(encoded, dtype=dtype).reshape(val.shape)
-                elif isinstance(val, (list, tuple)):
-                    encoded = [x.encode("utf-8") if isinstance(x, str) else x for x in val]
-                    arr = np.array(encoded, dtype=dtype)
-                else:
-                    arr = np.asarray(val, dtype=dtype)
-                object.__setattr__(self, field_name, arr)
+            if isinstance(val, np.ndarray) and val.dtype.kind in ("S", "a"):
+                continue
+            object.__setattr__(self, field_name, _as_bytes_array(val))
 
     @classmethod
     def empty(cls) -> GeneHits:
@@ -193,13 +196,10 @@ class GeneHits:
 
     @classmethod
     def from_dict(cls, data: dict[str, Any]) -> GeneHits:
-        def _to_bytes_array(val: Any, dtype: str) -> npt.NDArray[np.bytes_]:
-            if val is None or len(val) == 0:
-                return np.empty(0, dtype=dtype)
-            if isinstance(val, np.ndarray) and val.dtype.kind in ("S", "a"):
-                return val.astype(dtype)
-            encoded = [x.encode("utf-8") if isinstance(x, str) else x for x in val]
-            return np.array(encoded, dtype=dtype)
+        def _to_bytes_array(val: Any, _unused: str = "") -> npt.NDArray[np.bytes_]:
+            if val is None:
+                return np.empty(0, dtype="S1")
+            return _as_bytes_array(val)
 
         return cls(
             gene_indices=np.array(data["gene_indices"], dtype=np.int32),
@@ -321,26 +321,36 @@ class SerotypingResult:
     problems: SerotypingProblem = field(init=False)
 
     def __post_init__(self) -> None:
-        p = SerotypingProblem.NONE
-        if len(self.locus_pieces) > 1:
-            p |= SerotypingProblem.FRAGMENTED
-        if np.any(self.gene_hits.is_inside & ~self.gene_hits.is_expected & ~self.gene_hits.is_extra):
-            p |= SerotypingProblem.UNEXPECTED_GENES
-        if self.best_locus_completeness < 1.0 or np.any(
-            ~self.gene_hits.is_inside & self.gene_hits.is_expected
-        ):
-            p |= SerotypingProblem.MISSING_GENES
-        if np.any(self.gene_hits.is_inside & (self.gene_states == GeneState.NOVEL.value)):
-            p |= SerotypingProblem.NOVEL_GENES
-        if np.any(
-            self.gene_hits.is_inside
-            & (
-                (self.gene_states == GeneState.TRUNCATED.value)
-                | (self.gene_states == GeneState.PARTIAL.value)
-            )
-        ):
-            p |= SerotypingProblem.TRUNCATED_GENES
-        object.__setattr__(self, "problems", p)
+        object.__setattr__(self, "problems", self._derive_problems())
+
+    def _derive_problems(self) -> SerotypingProblem:
+        r"""Condense the call into its problem flags.
+
+        Flag conditions: FRAGMENTED = locus split over >1 piece; UNEXPECTED =
+        a non-extra foreign gene sits inside the locus; MISSING = not every
+        expected gene was recovered inside the locus; NOVEL / TRUNCATED =
+        inside-locus genes in those states (PARTIAL counts as truncated).
+        """
+        hit = self.gene_hits
+        inside_state = np.where(hit.is_inside, self.gene_states, np.int8(-1))
+        conditions = {
+            SerotypingProblem.FRAGMENTED: len(self.locus_pieces) > 1,
+            SerotypingProblem.UNEXPECTED_GENES: bool(
+                np.any(hit.is_inside & ~(hit.is_expected | hit.is_extra))
+            ),
+            SerotypingProblem.MISSING_GENES: self.best_locus_completeness < 1.0
+            or bool(np.any(hit.is_expected & ~hit.is_inside)),
+            SerotypingProblem.NOVEL_GENES: bool(np.any(inside_state == GeneState.NOVEL.value)),
+            SerotypingProblem.TRUNCATED_GENES: bool(
+                np.any(inside_state == GeneState.TRUNCATED.value)
+                | np.any(inside_state == GeneState.PARTIAL.value)
+            ),
+        }
+        flags = SerotypingProblem.NONE
+        for flag, present in conditions.items():
+            if present:
+                flags |= flag
+        return flags
 
     @classmethod
     def from_dict(cls, data: dict[str, Any]) -> SerotypingResult:
