@@ -1,0 +1,161 @@
+"""Bit-identity harness: our typing calls vs the REFERENCE engine's calls.
+
+For a panel of synthetic assemblies (clean / diverged / reverse-complemented /
+fragmented / gene-truncated), both engines consume the SAME mapper hits (ours),
+and we assert the decisions and report bytes agree:
+
+- best locus, phenotype, typeability, problem symbols;
+- per-hit gene states and protein identities;
+- the full 22-column KaptiveRow TSV bytes (version column normalised — the
+  reference reports "unknown" when not pip-installed).
+
+The reference runs in-process from /root/reference with numba stubbed
+(see tests/ref_oracle.py); tests skip if that tree is absent.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from ref_oracle import (
+    reference_available,
+    reference_row_bytes,
+    reference_serotype,
+)
+from synthetic import make_genome_from_locus, make_synthetic_db, random_dna, revcomp
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not present"
+)
+
+
+@pytest.fixture(scope="module")
+def db_and_truth(tmp_path_factory):
+    from kaptive_tpu.db import Database
+
+    rng = np.random.default_rng(20260819)
+    tmp = tmp_path_factory.mktemp("goldendb")
+    gbk, truth = make_synthetic_db(
+        tmp, rng, n_loci=5, genes_per_locus=6, name="GoldenDB", keyword="golden_db"
+    )
+    return Database.from_genbank(gbk), truth, rng
+
+
+def _assemble(fasta_bytes: bytes, name: str):
+    from kaptive_tpu.core.genome import GenomeAssembly
+
+    return GenomeAssembly.from_stream(io.BytesIO(fasta_bytes), name)
+
+
+def _both_results(db, genome):
+    """(our SerotypingResult, reference SerotypingResult) on identical hits."""
+    from kaptive_tpu.ops.mapper import map_genes
+    from kaptive_tpu.serotyping import Serotyper
+
+    ours = Serotyper(db)
+    our_result = ours(genome)
+    alns = map_genes(db.gene_index, genome, ours._gene_names, ours.mapper_params)
+    ref_result = reference_serotype(db, genome, alns)
+    return our_result, ref_result
+
+
+def _normalise_row(row: bytes) -> bytes:
+    cols = row.split(b"\t")
+    cols[0] = b"<version>"
+    return b"\t".join(cols)
+
+
+def _assert_match(our_result, ref_result):
+    from kaptive_tpu.serotyping.io import KaptiveRow
+
+    assert our_result.best_locus_name == ref_result.best_locus_name
+    assert our_result.phenotype == ref_result.phenotype
+    assert our_result.typeable == ref_result.typeable
+    assert int(our_result.problems) == int(ref_result.problems)
+    assert our_result.best_locus_score == pytest.approx(ref_result.best_locus_score)
+    assert our_result.best_locus_completeness == pytest.approx(
+        ref_result.best_locus_completeness
+    )
+    np.testing.assert_array_equal(our_result.gene_states, ref_result.gene_states)
+    np.testing.assert_array_equal(
+        our_result.gene_hits.gene_indices, ref_result.gene_hits.gene_indices
+    )
+    np.testing.assert_array_equal(
+        our_result.gene_hits.is_inside, ref_result.gene_hits.is_inside
+    )
+    np.testing.assert_allclose(
+        our_result.protein_identities, ref_result.protein_identities, rtol=0, atol=0
+    )
+    assert tuple(our_result.missing_expected_genes) == tuple(
+        ref_result.missing_expected_genes
+    )
+    ours_row = _normalise_row(bytes(KaptiveRow.from_result(our_result)))
+    ref_row = _normalise_row(reference_row_bytes(ref_result))
+    assert ours_row == ref_row
+
+
+def test_clean_locus_bit_identical(db_and_truth):
+    db, truth, rng = db_and_truth
+    fasta = make_genome_from_locus(rng, truth, "KL3", flank=8000)
+    _assert_match(*_both_results(db, _assemble(fasta, "clean")))
+
+
+def test_diverged_locus_bit_identical(db_and_truth):
+    db, truth, rng = db_and_truth
+    fasta = make_genome_from_locus(rng, truth, "KL2", flank=8000, sub_rate=0.02)
+    _assert_match(*_both_results(db, _assemble(fasta, "diverged")))
+
+
+def test_revcomp_locus_bit_identical(db_and_truth):
+    db, truth, rng = db_and_truth
+    locus = revcomp(truth["loci"]["KL4"]["seq"])
+    contig = random_dna(rng, 6000) + locus + random_dna(rng, 6000)
+    _assert_match(*_both_results(db, _assemble(b">c1\n%s\n" % contig, "rc")))
+
+
+def test_fragmented_locus_bit_identical(db_and_truth):
+    db, truth, rng = db_and_truth
+    locus = truth["loci"]["KL1"]["seq"]
+    cut = len(locus) // 2
+    fasta = b">c1\n%s\n>c2\n%s\n" % (
+        random_dna(rng, 5000) + locus[:cut],
+        locus[cut:] + random_dna(rng, 5000),
+    )
+    our_result, ref_result = _both_results(db, _assemble(fasta, "fragmented"))
+    _assert_match(our_result, ref_result)
+    assert len(our_result.locus_pieces) == len(ref_result.locus_pieces)
+
+
+def test_truncated_gene_bit_identical(db_and_truth):
+    db, truth, rng = db_and_truth
+    # Knock a premature stop into the 3rd gene of KL5 (frame-preserving).
+    locus = bytearray(truth["loci"]["KL5"]["seq"])
+    _, g_start, g_end, strand, orf = truth["loci"]["KL5"]["genes"][2]
+    mid_codon = g_start + ((g_end - g_start) // 2 // 3) * 3
+    if strand == 1:
+        locus[mid_codon : mid_codon + 3] = b"TAA"
+    else:
+        locus[g_end - mid_codon + g_start - 3 : g_end - mid_codon + g_start] = b"TTA"
+    contig = random_dna(rng, 6000) + bytes(locus) + random_dna(rng, 6000)
+    our_result, ref_result = _both_results(db, _assemble(b">c1\n%s\n" % contig, "trunc"))
+    _assert_match(our_result, ref_result)
+
+
+def test_batch_equals_single(db_and_truth):
+    """Batched decisions must equal per-genome decisions (and hence the reference)."""
+    from kaptive_tpu.serotyping import Serotyper
+    from kaptive_tpu.serotyping.io import KaptiveRow
+
+    db, truth, rng = db_and_truth
+    genomes = [
+        _assemble(make_genome_from_locus(rng, truth, f"KL{i + 1}", flank=5000), f"b{i}")
+        for i in range(3)
+    ]
+    ser = Serotyper(db)
+    batched = ser.batch(genomes)
+    for genome, batched_result in zip(genomes, batched):
+        single = ser(genome)
+        assert bytes(KaptiveRow.from_result(single)) == bytes(
+            KaptiveRow.from_result(batched_result)
+        )
