@@ -202,6 +202,7 @@ class PairwiseAligner:
     gap_open: int = 11
     gap_extend: int = 1
     k: int = 20
+    mesh: Any = None  # optional jax.sharding.Mesh: shards the pair axis
 
     def __call__(self, queries: Sequences, targets: Sequences, seeds: Any | None = None) -> PairwiseAlignments:
         if len(queries.offsets) != len(targets.offsets):
@@ -225,6 +226,7 @@ class PairwiseAligner:
             offsets_arr, k_locals,
             matrix=np.asarray(blosum62_matrix(), dtype=np.int32),
             gap_open=self.gap_open, gap_extend=self.gap_extend,
+            mesh=self.mesh,
         )
 
     def align_seeds(self, queries: Sequences, targets: Sequences, seeds: Any) -> PairwiseAlignments:
@@ -232,13 +234,29 @@ class PairwiseAligner:
         return self(paired_queries, paired_targets, seeds)
 
 
+_RESULT_FIELDS = ("scores", "matches", "mismatches", "gaps", "q_starts", "q_ends", "t_starts", "t_ends")
+
+
 def batched_swg_align(
     q_data: np.ndarray, q_offsets: np.ndarray, q_lengths: np.ndarray,
     t_data: np.ndarray, t_offsets: np.ndarray, t_lengths: np.ndarray,
     diag_offsets: np.ndarray, k_locals: np.ndarray,
     matrix: np.ndarray, gap_open: int, gap_extend: int,
+    mesh=None,
 ) -> PairwiseAlignments:
-    r"""Bucket ragged pairs into padded device batches and run :func:`banded_swg`."""
+    r"""Bucket ragged pairs into padded device batches and run :func:`banded_swg`.
+
+    Bucket-shape policy: the compiled-program lattice is kept SMALL — the
+    query and target dimensions share one joint power-of-two size bucket
+    (pairs in this pipeline have similar q/t lengths, so the waste is modest),
+    the batch dimension quantises in factor-of-4 steps, and the band width in
+    power-of-two steps.  Every distinct shape costs a compile *and* a
+    first-execution load on tunneled TPUs, which dwarfs padding waste.
+
+    Dispatch policy: all buckets are launched before any device->host
+    collection so their executions and transfers overlap (JAX dispatch is
+    async; a per-bucket ``np.asarray`` would serialise every round trip).
+    """
     import jax.numpy as jnp
 
     from kaptive_tpu.ops.swg import banded_swg, pad_ragged_to_matrix
@@ -246,26 +264,25 @@ def batched_swg_align(
     n = len(q_offsets)
     w_needed = 2 * k_locals.astype(np.int64) + 3
     w_buckets = np.array([_bucket_size(int(w), 128) for w in w_needed])
-    rows_buckets = np.array([_bucket_size(max(int(length), 1), 128) for length in q_lengths])
-    t_buckets = np.array([_bucket_size(max(int(length), 1), 128) for length in t_lengths])
+    joint = np.maximum(np.maximum(q_lengths, t_lengths), 1)
+    size_buckets = np.array([_bucket_size(int(s), 128) for s in joint])
 
-    out = {
-        k: np.zeros(n, dtype=np.int32)
-        for k in ("scores", "matches", "mismatches", "gaps", "q_starts", "q_ends", "t_starts", "t_ends")
-    }
-    keys = rows_buckets.astype(np.int64) * 10**10 + t_buckets.astype(np.int64) * 10**5 + w_buckets
+    out = {k: np.zeros(n, dtype=np.int32) for k in _RESULT_FIELDS}
+    keys = size_buckets.astype(np.int64) * 10**5 + w_buckets
+    launched = []
     for key in np.unique(keys):
         sel = np.nonzero(keys == key)[0]
-        rows_max = int(rows_buckets[sel[0]])
-        t_max = int(t_buckets[sel[0]])
+        rows_max = t_max = int(size_buckets[sel[0]])
         w_pad = int(w_buckets[sel[0]])
         t_pad = w_pad + 2
 
-        # Pad the batch dimension to a power-of-two bucket too: compiled
-        # program count must not grow with per-genome hit counts (device
-        # compiles are expensive, padded pairs are nearly free).
+        # Quantise the batch dimension in x4 steps: compiled program count
+        # must not grow with per-genome hit counts (padded pairs are cheap).
         b = len(sel)
-        b_pad = _bucket_size(b, 8)
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        b_pad = max(16, n_dev)
+        while b_pad < b:
+            b_pad *= 4
         q_mat = np.zeros((b_pad, rows_max), dtype=np.uint8)
         q_mat[:b] = pad_ragged_to_matrix(q_data, q_offsets[sel], q_lengths[sel], rows_max)
         t_mat = np.zeros((b_pad, t_max + 2 * t_pad), dtype=np.uint8)
@@ -281,24 +298,105 @@ def batched_swg_align(
         kl = np.full(b_pad, 1, dtype=np.int32)
         kl[:b] = k_locals[sel]
 
-        res = banded_swg(
-            jnp.asarray(q_mat), jnp.asarray(ql),
-            jnp.asarray(t_mat), jnp.asarray(tl),
-            jnp.asarray(do), jnp.asarray(kl),
-            np.asarray(matrix, dtype=np.int32),
+        statics = dict(
             gap_open=gap_open, gap_extend=gap_extend,
             rows_max=rows_max, w_pad=w_pad, t_pad=t_pad,
         )
-        out["scores"][sel] = np.asarray(res.scores)[:b]
-        out["matches"][sel] = np.asarray(res.matches)[:b]
-        out["mismatches"][sel] = np.asarray(res.mismatches)[:b]
-        out["gaps"][sel] = np.asarray(res.gaps)[:b]
-        out["q_starts"][sel] = np.asarray(res.q_starts)[:b]
-        out["q_ends"][sel] = np.asarray(res.q_ends)[:b]
-        out["t_starts"][sel] = np.asarray(res.t_starts)[:b]
-        out["t_ends"][sel] = np.asarray(res.t_ends)[:b]
+        if n_dev > 1:
+            from kaptive_tpu.parallel.typing import sharded_banded_swg
 
-    return PairwiseAlignments(
-        out["scores"], out["matches"], out["mismatches"], out["gaps"],
-        out["q_starts"], out["q_ends"], out["t_starts"], out["t_ends"],
+            res = sharded_banded_swg(
+                mesh, q_mat, ql, t_mat, tl, do, kl,
+                np.asarray(matrix, dtype=np.int32), **statics,
+            )
+        else:
+            res = banded_swg(
+                jnp.asarray(q_mat), jnp.asarray(ql),
+                jnp.asarray(t_mat), jnp.asarray(tl),
+                jnp.asarray(do), jnp.asarray(kl),
+                np.asarray(matrix, dtype=np.int32), **statics,
+            )
+        launched.append((sel, len(sel), res))
+
+    for sel, b, res in launched:
+        for field in _RESULT_FIELDS:
+            out[field][sel] = np.asarray(getattr(res, field))[:b]
+
+    return PairwiseAlignments(*(out[f] for f in _RESULT_FIELDS))
+
+
+def batched_swg_align_cigars(
+    q_data: np.ndarray, q_offsets: np.ndarray, q_lengths: np.ndarray,
+    t_data: np.ndarray, t_offsets: np.ndarray, t_lengths: np.ndarray,
+    diag_offsets: np.ndarray, k_locals: np.ndarray,
+    matrix: np.ndarray, gap_open: int, gap_extend: int,
+):
+    r"""Like :func:`batched_swg_align` but with BAM CIGARs from the traceback.
+
+    Returns ``(PairwiseAlignments, Cigars)``; pairs whose op count overflowed
+    the device run buffer get an empty CIGAR (stats stay exact).  Uses the lax
+    DP path — CIGAR mode is opt-in output parity, not the typing hot path.
+    """
+    import jax.numpy as jnp
+
+    from kaptive_tpu.core.alignment import Cigars
+    from kaptive_tpu.core.collections import cumulative_offsets
+    from kaptive_tpu.ops.swg import MAX_CIGAR_OPS, banded_swg_lax_cigars, pad_ragged_to_matrix
+
+    n = len(q_offsets)
+    w_needed = 2 * k_locals.astype(np.int64) + 3
+    w_buckets = np.array([_bucket_size(int(w), 128) for w in w_needed])
+    joint = np.maximum(np.maximum(q_lengths, t_lengths), 1)
+    size_buckets = np.array([_bucket_size(int(s), 128) for s in joint])
+
+    out = {k: np.zeros(n, dtype=np.int32) for k in _RESULT_FIELDS}
+    ops_out = np.zeros((n, MAX_CIGAR_OPS), dtype=np.uint32)
+    n_ops_out = np.zeros(n, dtype=np.int32)
+
+    keys = size_buckets.astype(np.int64) * 10**5 + w_buckets
+    launched = []
+    for key in np.unique(keys):
+        sel = np.nonzero(keys == key)[0]
+        rows_max = t_max = int(size_buckets[sel[0]])
+        w_pad = int(w_buckets[sel[0]])
+        t_pad = w_pad + 2
+        b = len(sel)
+        b_pad = 16
+        while b_pad < b:
+            b_pad *= 4
+        q_mat = np.zeros((b_pad, rows_max), dtype=np.uint8)
+        q_mat[:b] = pad_ragged_to_matrix(q_data, q_offsets[sel], q_lengths[sel], rows_max)
+        t_mat = np.zeros((b_pad, t_max + 2 * t_pad), dtype=np.uint8)
+        t_mat[:b, t_pad : t_pad + t_max] = pad_ragged_to_matrix(
+            t_data, t_offsets[sel], t_lengths[sel], t_max
+        )
+        pad = lambda v, fill=0: np.concatenate(  # noqa: E731
+            [v.astype(np.int32), np.full(b_pad - b, fill, dtype=np.int32)]
+        )
+        res, ops, n_ops, overflow = banded_swg_lax_cigars(
+            jnp.asarray(q_mat), jnp.asarray(pad(q_lengths[sel])),
+            jnp.asarray(t_mat), jnp.asarray(pad(t_lengths[sel])),
+            jnp.asarray(pad(diag_offsets[sel])), jnp.asarray(pad(k_locals[sel], 1)),
+            jnp.asarray(matrix, dtype=jnp.int32),
+            gap_open=gap_open, gap_extend=gap_extend,
+            rows_max=rows_max, w_pad=w_pad, t_pad=t_pad,
+        )
+        launched.append((sel, b, res, ops, n_ops, overflow))
+
+    for sel, b, res, ops, n_ops, overflow in launched:
+        for field in _RESULT_FIELDS:
+            out[field][sel] = np.asarray(getattr(res, field))[:b]
+        ops_np = np.asarray(ops)[:b]
+        n_np = np.where(np.asarray(overflow)[:b], 0, np.asarray(n_ops)[:b])
+        ops_out[sel] = ops_np
+        n_ops_out[sel] = n_np
+
+    lengths = n_ops_out.astype(np.int32)
+    offsets = cumulative_offsets(lengths)
+    flat = np.concatenate(
+        [ops_out[i, : lengths[i]] for i in range(n)]
+    ) if n and lengths.sum() else np.empty(0, dtype=np.uint32)
+    return (
+        PairwiseAlignments(*(out[f] for f in _RESULT_FIELDS)),
+        Cigars(flat.astype(np.uint32), offsets, lengths),
     )

@@ -133,6 +133,26 @@ class GeneIndex:
             )
         return self._cache["lookup"]
 
+    @property
+    def device_bloom(self):
+        r"""Membership bitmap over table hashes (device-cached).
+
+        Contig minimizers overwhelmingly miss the gene table (the table covers
+        ~0.5 Mb of genes vs ~5 Mb of genome), so the expensive per-query binary
+        search is gated behind a single-gather bitmap test: bit
+        ``hash & (2^BLOOM_BITS - 1)`` is set for every table hash.  False
+        positives (~table_size / 2^BLOOM_BITS) only cost a wasted search slot.
+        """
+        if "bloom" not in self._cache:
+            import jax.numpy as jnp
+
+            h = self.minimizers.hashes.astype(np.uint64)
+            bit = (h & np.uint64((1 << BLOOM_BITS) - 1)).astype(np.int64)
+            words = np.zeros(1 << (BLOOM_BITS - 5), dtype=np.uint32)
+            np.bitwise_or.at(words, bit >> 5, np.uint32(1) << (bit & 31).astype(np.uint32))
+            self._cache["bloom"] = jnp.asarray(words)
+        return self._cache["bloom"]
+
 
 @dataclass(frozen=True, slots=True)
 class MapperParams:
@@ -145,6 +165,9 @@ class MapperParams:
     window_pad: int = 64  # extra target window around the projected gene span
     min_score: int = 30  # discard extensions below this SW score
     max_occ: int = 1024  # per-contig-minimizer occurrence cap in the gene table
+    emit_cigars: bool = False  # record BAM CIGARs during extension traceback
+    # (the reference maps with do_cigar=True; typing decisions never read them,
+    # so the default keeps the faster count-only traceback)
 
 
 def find_anchors(gene_index: GeneIndex, contig_mins: MinimizerSet, params: MapperParams):
@@ -171,9 +194,11 @@ def find_anchors(gene_index: GeneIndex, contig_mins: MinimizerSet, params: Mappe
 
 
 MIN_DENSITY_CAP = 4  # minimizer capacity = L / MIN_DENSITY_CAP (true density ~2/(w+1))
+CANDIDATE_CAP = 1 << 16  # per-genome bloom-surviving minimizer capacity
 ANCHOR_CAP = 1 << 16  # per-genome anchor capacity (transferred arrays scale with this)
 DEVICE_MAX_OCC = 1024  # per-minimizer gene-table occurrence cap in the fused device step
 BUCKET_SHIFT = 12  # hash-prefix bucket width for the device table lookup (2^20 buckets)
+BLOOM_BITS = 27  # membership bitmap size (2^27 bits = 16 MB); FP rate = T / 2^27
 
 
 def bucketed_first_ge(table_hashes, bucket_starts, queries, iters: int):
@@ -213,36 +238,63 @@ def _scan_compact_core(packed, valid_bits, *, length: int, cap_mins: int, k: int
 def _match_core(
     pos, h, st, n_minimizers,
     table_hashes, table_genes, table_pos, table_strands, bucket_starts, run_len,
-    *, length: int, cap_anchors: int, lookup_iters: int, max_occ: int,
+    bloom_words,
+    *, length: int, cap_cand: int, cap_anchors: int, lookup_iters: int, max_occ: int,
 ):
-    r"""Stage B: bucketed table lookup -> ragged occurrence expansion -> anchors."""
+    r"""Stage B: bloom prefilter -> candidate compaction -> bucketed table
+    lookup -> ragged occurrence expansion -> anchors.
+
+    The prefilter replaces ~``lookup_iters`` random table gathers per contig
+    minimizer (millions) with ONE bitmap gather; only the surviving candidates
+    (locus-region minimizers plus ~0.4% false positives) pay the search.
+    """
     L = length
     T = table_hashes.shape[0]
     cap_mins = pos.shape[0]
     ok_min = pos < L
 
-    lo = bucketed_first_ge(table_hashes, bucket_starts, h, lookup_iters)
-    exact = table_hashes[jnp.minimum(lo, T - 1)] == h
+    # Prefilter: single gather into the membership bitmap per minimizer.
+    bit = (h & jnp.uint32((1 << BLOOM_BITS) - 1)).astype(jnp.int32)
+    word = bloom_words[bit >> 5]
+    maybe = ok_min & (((word >> (bit & 31).astype(jnp.uint32)) & 1) == 1)
+
+    # Compact candidates to a fixed-width buffer.
+    rank = jnp.cumsum(maybe.astype(jnp.int32)) - 1
+    n_candidates = rank[-1] + 1
+    slot = jnp.where(maybe, jnp.minimum(rank, cap_cand), cap_cand)
+    c_pos = (
+        jnp.full(cap_cand + 1, L, dtype=jnp.int32).at[slot].set(pos, mode="drop")[:cap_cand]
+    )
+    c_h = (
+        jnp.full(cap_cand + 1, jnp.uint32(0xFFFFFFFF))
+        .at[slot].set(h, mode="drop")[:cap_cand]
+    )
+    c_st = jnp.zeros(cap_cand + 1, dtype=st.dtype).at[slot].set(st, mode="drop")[:cap_cand]
+    ok_cand = c_pos < L
+
+    lo = bucketed_first_ge(table_hashes, bucket_starts, c_h, lookup_iters)
+    exact = table_hashes[jnp.minimum(lo, T - 1)] == c_h
     n_hits = jnp.where(exact & (lo < T), run_len[jnp.minimum(lo, T - 1)], 0)
-    counts = jnp.where(ok_min, jnp.minimum(n_hits, max_occ), 0).astype(jnp.int32)
+    counts = jnp.where(ok_cand, jnp.minimum(n_hits, max_occ), 0).astype(jnp.int32)
 
     cum = jnp.cumsum(counts) - counts
     total = cum[-1] + counts[-1]
     j = jnp.arange(cap_anchors, dtype=jnp.int32)
     mi = jnp.searchsorted(cum, j, side="right") - 1
-    mi = jnp.clip(mi, 0, cap_mins - 1)
+    mi = jnp.clip(mi, 0, cap_cand - 1)
     within = j - cum[mi]
     ok_a = (j < total) & (within >= 0) & (within < counts[mi])
     ti = jnp.clip(lo[mi] + within, 0, T - 1)
 
     return dict(
         valid=ok_a,
-        c_flat_pos=jnp.where(ok_a, pos[mi], 0).astype(jnp.int32),
-        c_strand=st[mi],
+        c_flat_pos=jnp.where(ok_a, c_pos[mi], 0).astype(jnp.int32),
+        c_strand=c_st[mi],
         g_idx=jnp.where(ok_a, table_genes[ti], 0).astype(jnp.int32),
         g_pos=jnp.where(ok_a, table_pos[ti], 0).astype(jnp.int32),
         g_strand=table_strands[ti],
         n_minimizers=n_minimizers,
+        n_candidates=n_candidates,
         n_anchors=total,
     )
 
@@ -257,35 +309,39 @@ _scan_compact_batch = jax.jit(
 )
 
 _match_batch = jax.jit(
-    lambda pos, h, st, nm, th, tg, tp, ts, bs, rl, length, cap_anchors, iters, max_occ: jax.vmap(
+    lambda pos, h, st, nm, th, tg, tp, ts, bs, rl, bw, length, cap_cand, cap_anchors, iters, max_occ: jax.vmap(
         lambda a, b, c, d: _match_core(
-            a, b, c, d, th, tg, tp, ts, bs, rl,
-            length=length, cap_anchors=cap_anchors, lookup_iters=iters, max_occ=max_occ,
+            a, b, c, d, th, tg, tp, ts, bs, rl, bw,
+            length=length, cap_cand=cap_cand, cap_anchors=cap_anchors,
+            lookup_iters=iters, max_occ=max_occ,
         )
     )(pos, h, st, nm),
-    static_argnums=(10, 11, 12, 13),
+    static_argnums=(11, 12, 13, 14, 15),
 )
 
 
 def scan_match_batch(
     packed_batch, bits_batch, table_hashes, table_genes, table_pos, table_strands,
-    bucket_starts, run_len,
-    *, length: int, cap_mins: int, cap_anchors: int, lookup_iters: int,
+    bucket_starts, run_len, bloom_words,
+    *, length: int, cap_mins: int, cap_cand: int = CANDIDATE_CAP,
+    cap_anchors: int = ANCHOR_CAP, lookup_iters: int,
     max_occ: int = DEVICE_MAX_OCC, k: int = DEFAULT_K, w: int = DEFAULT_W,
 ):
     r"""Batched fused seeding for a whole assembly batch.
 
-    Runs as two chained jits (scan+compact, then lookup+expand) — device
-    arrays flow between them with no host round-trip.  Keeping the stages
-    separate prevents XLA from fusing the full-length scan producer into
-    multiple consumers (which recomputes it and dominated runtime when fused).
+    Runs as two chained jits (scan+compact, then filter+lookup+expand) —
+    device arrays flow between them with no host round-trip.  Keeping the
+    stages separate prevents XLA from fusing the full-length scan producer
+    into multiple consumers (which recomputes it and dominated runtime when
+    fused).
     """
     pos, h, st, nm = _scan_compact_batch(
         packed_batch, bits_batch, length, cap_mins, k, w
     )
     return _match_batch(
         pos, h, st, nm, table_hashes, table_genes, table_pos, table_strands,
-        bucket_starts, run_len, length, cap_anchors, lookup_iters, max_occ,
+        bucket_starts, run_len, bloom_words,
+        length, cap_cand, cap_anchors, lookup_iters, max_occ,
     )
 
 
@@ -316,11 +372,16 @@ def find_anchors_device(gene_index: GeneIndex, contig_index, params: MapperParam
     cap_anchors = ANCHOR_CAP
     out = scan_match_batch(
         jnp.asarray(packed[None]), jnp.asarray(bits[None]), th, tg, tp, ts, bs, rl,
+        gene_index.device_bloom,
         length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
         max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
     )
     out = {key: np.asarray(v)[0] for key, v in out.items()}
-    if int(out["n_minimizers"]) > cap_mins or int(out["n_anchors"]) > cap_anchors:
+    if (
+        int(out["n_minimizers"]) > cap_mins
+        or int(out["n_candidates"]) > CANDIDATE_CAP
+        or int(out["n_anchors"]) > cap_anchors
+    ):
         # Capacity overflow (pathological repeat content): fall back to host path.
         return find_anchors(gene_index, contig_index.minimizers, params)
 
@@ -449,8 +510,22 @@ def build_extension_problems(
     )
 
 
-def _run_extension_dp(problems: dict):
-    r"""One batched banded-SWG dispatch over concatenated extension problems."""
+def _run_extension_dp(problems: dict, emit_cigars: bool = False, mesh=None):
+    r"""One batched banded-SWG dispatch over concatenated extension problems.
+
+    With ``emit_cigars`` the result gains a ``cigars`` attribute: a
+    :class:`~kaptive_tpu.core.alignment.Cigars` batch aligned with the pairs
+    (empty for pairs whose op count overflowed the device buffer).
+    """
+    if emit_cigars:
+        from kaptive_tpu.core.pairwise import batched_swg_align_cigars
+
+        return batched_swg_align_cigars(
+            problems["q_codes"], problems["q_offsets"], problems["q_lengths"],
+            problems["t_codes"], problems["t_offsets"], problems["t_lengths"],
+            problems["offsets"], problems["k_locals"],
+            matrix=_NT_MATRIX, gap_open=NT_GAP_OPEN, gap_extend=NT_GAP_EXTEND,
+        )
     from kaptive_tpu.core.pairwise import batched_swg_align
 
     return batched_swg_align(
@@ -458,6 +533,7 @@ def _run_extension_dp(problems: dict):
         problems["t_codes"], problems["t_offsets"], problems["t_lengths"],
         problems["offsets"], problems["k_locals"],
         matrix=_NT_MATRIX, gap_open=NT_GAP_OPEN, gap_extend=NT_GAP_EXTEND,
+        mesh=mesh,
     )
 
 
@@ -485,6 +561,7 @@ def _alignments_from_extension(
     contig_index: ContigIndex,
     gene_names: tuple[str, ...],
     params: MapperParams,
+    cigars=None,
 ) -> Alignments:
     r"""Filter/dedupe DP results and assemble the SoA alignment batch."""
     keep = np.asarray(res.scores) >= params.min_score
@@ -529,6 +606,10 @@ def _alignments_from_extension(
     scores, matches, mismatches, gaps = scores[sel], matches[sel], mismatches[sel], gaps[sel]
     q_start, q_end, t_start, t_end = q_start[sel], q_end[sel], t_start[sel], t_end[sel]
     gl = gl[sel]
+    kept_cigars = None
+    if cigars is not None:
+        kept_rows = np.flatnonzero(keep)[sel]
+        kept_cigars = cigars[kept_rows]
 
     # Primary flag + mapq: per gene, the top-scoring hit is primary; mapq scales
     # with the score margin over the runner-up (tie-break only downstream).
@@ -568,6 +649,7 @@ def _alignments_from_extension(
         scores=scores,
         qualities=mapq,
         block_lengths=np.maximum(q_end - q_start, t_end - t_start).astype(np.int32),
+        cigars=kept_cigars,
         is_primary=is_primary,
     )
 
@@ -592,6 +674,7 @@ def map_genes_batch(
     genomes: list,
     gene_names: tuple[str, ...],
     params: MapperParams | None = None,
+    mesh=None,
 ) -> list[Alignments]:
     r"""Map the DB gene set against a batch of assemblies with amortised dispatches.
 
@@ -599,6 +682,11 @@ def map_genes_batch(
     vmapped dispatch over the batch, and the banded extensions of every chain
     from every assembly run as one bucketed DP sweep — dispatch and transfer
     latency (dominant on tunneled TPUs) is paid once per batch, not per genome.
+
+    With a multi-device ``mesh``, the seeding stages shard assemblies over the
+    ``data`` axis and the gene table over the ``model`` axis (anchor sets
+    merged with an all_gather), and the DP sweeps shard their pair axis over
+    every device — see :mod:`kaptive_tpu.parallel.typing`.
     """
     from kaptive_tpu.utils.profiling import phase_timer
 
@@ -620,17 +708,38 @@ def map_genes_batch(
             packed[b, : len(pb)] = pb
             bits[b, : len(vb)] = vb
 
-    th, tg, tp, ts = gene_index.device_table
-    bs, rl, iters = gene_index.device_lookup
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
     cap_anchors = ANCHOR_CAP
-    with phase_timer("map.scan_match"):
-        out = scan_match_batch(
-            jnp.asarray(packed), jnp.asarray(bits), th, tg, tp, ts, bs, rl,
-            length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
-            max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
-        )
-        out = {key: np.asarray(v) for key, v in out.items()}
+    if mesh is not None and int(mesh.devices.size) > 1:
+        from kaptive_tpu.parallel.typing import ShardedGeneTable, sharded_scan_match
+
+        data_axis = int(mesh.shape.get("data", 1))
+        model_axis = int(mesh.shape.get("model", 1))
+        key = ("sharded_table", model_axis)
+        if key not in gene_index._cache:
+            gene_index._cache[key] = ShardedGeneTable.build(gene_index, model_axis)
+        pad_to = -(-n_genomes // data_axis) * data_axis
+        if pad_to != n_genomes:  # sentinel rows: no valid bases -> no anchors
+            packed = np.concatenate([packed, np.zeros((pad_to - n_genomes, L // 4), np.uint8)])
+            bits = np.concatenate([bits, np.zeros((pad_to - n_genomes, L // 8), np.uint8)])
+        with phase_timer("map.scan_match"):
+            out = sharded_scan_match(
+                mesh, packed, bits, gene_index._cache[key],
+                length=L, cap_mins=cap_mins, cap_anchors=cap_anchors,
+                max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
+            )
+            out = {key2: v[:n_genomes] for key2, v in out.items()}
+    else:
+        th, tg, tp, ts = gene_index.device_table
+        bs, rl, iters = gene_index.device_lookup
+        with phase_timer("map.scan_match"):
+            out = scan_match_batch(
+                jnp.asarray(packed), jnp.asarray(bits), th, tg, tp, ts, bs, rl,
+                gene_index.device_bloom,
+                length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
+                max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
+            )
+            out = {key: np.asarray(v) for key, v in out.items()}
 
     # Per-genome host phases: anchors -> chains -> extension problems.
     all_chains: list[dict | None] = []
@@ -640,6 +749,7 @@ def map_genes_batch(
     for b, ci in enumerate(indexes):
         overflow = (
             int(out["n_minimizers"][b]) > cap_mins
+            or int(out["n_candidates"][b]) > CANDIDATE_CAP
             or int(out["n_anchors"][b]) > cap_anchors
         )
         if overflow:
@@ -681,7 +791,11 @@ def map_genes_batch(
         merged["q_offsets"] = cumulative_offsets(merged["q_lengths"])
         merged["t_offsets"] = cumulative_offsets(merged["t_lengths"])
         with phase_timer("map.extension_dp"):
-            res = _run_extension_dp(merged)
+            cigars_all = None
+            if params.emit_cigars:
+                res, cigars_all = _run_extension_dp(merged, emit_cigars=True)
+            else:
+                res = _run_extension_dp(merged, mesh=mesh)
         # Split DP results back per genome.
         counts = [len(p["q_lengths"]) if p is not None else 0 for p in all_problems]
         bounds = np.cumsum([0] + counts)
@@ -700,6 +814,7 @@ def map_genes_batch(
                 _alignments_from_extension(
                     all_chains[b], res_b, all_problems[b]["t_lo"], all_problems[b]["glen"],
                     gene_index, genomes[b], indexes[b], gene_names, params,
+                    cigars=cigars_all[sl] if cigars_all is not None else None,
                 )
             )
     else:

@@ -352,6 +352,130 @@ def banded_swg(
     )
 
 
+MAX_CIGAR_OPS = 256  # run-length op capacity per pair (overflowing pairs flag + truncate)
+
+
+def _traceback_cigar(
+    tb: jax.Array, q: jax.Array, t_padded: jax.Array,
+    best_i: jax.Array, best_j: jax.Array, offset: jax.Array,
+    w_pad: int, rows_max: int, t_pad_amount: int, cap_ops: int,
+):
+    r"""Traceback that additionally records BAM-encoded CIGAR runs.
+
+    The walk moves end->start, so runs are collected in reverse and flipped at
+    the end.  Op convention matches PAF/BAM for a query-vs-target alignment:
+    ``M`` consumes both (match or mismatch), ``I`` consumes query only (our
+    vertical D state), ``D`` consumes target only (our horizontal I state).
+    Returns (matches, mismatches, gaps, q_start, t_start, ops, n_ops,
+    overflowed); ops are start->end order.
+    """
+    k_pad = (w_pad - 3) // 2
+    NO_OP = jnp.int32(-1)
+
+    def cond(st):
+        i, j, state, m, x, g, cur_op, run, ptr, ops, done = st
+        return (~done) & (i > 0) & (j > 0)
+
+    def emit(ops, ptr, cur_op, run):
+        record = (run.astype(jnp.uint32) << 4) | cur_op.astype(jnp.uint32)
+        do_write = cur_op != NO_OP
+        ops = ops.at[jnp.where(do_write, jnp.minimum(ptr, cap_ops - 1), cap_ops - 1)].set(
+            jnp.where(do_write, record, ops[jnp.minimum(ptr, cap_ops - 1)])
+        )
+        return ops, ptr + jnp.where(do_write, 1, 0)
+
+    def body(st):
+        i, j, state, m, x, g, cur_op, run, ptr, ops, done = st
+        dmv = j - (i - offset) + k_pad + 1
+        cell = tb[jnp.clip(i - 1, 0, rows_max - 1), jnp.clip(dmv, 0, w_pad - 1)].astype(jnp.int32)
+        tb_m = cell & 3
+        tb_d_ext = (cell >> 2) & 1
+        tb_i_ext = (cell >> 3) & 1
+
+        qc = q[jnp.clip(i - 1, 0, rows_max - 1)]
+        tc = t_padded[jnp.clip(j - 1 + t_pad_amount, 0, t_padded.shape[0] - 1)]
+
+        m_stop = (state == 0) & (tb_m == 3)
+        m_diag = (state == 0) & (tb_m == 0)
+        m_to_d = (state == 0) & (tb_m == 1)
+        m_to_i = (state == 0) & (tb_m == 2)
+        in_d = state == 1
+        in_i = state == 2
+
+        m = m + jnp.where(m_diag & (qc == tc), 1, 0)
+        x = x + jnp.where(m_diag & (qc != tc), 1, 0)
+        g = g + jnp.where(in_d | in_i, 1, 0)
+
+        # BAM op for this step: M=0 on diagonal, I=1 on query gaps (our D
+        # state), D=2 on target gaps (our I state); transition steps emit none.
+        step_op = jnp.where(m_diag, 0, jnp.where(in_d, 1, jnp.where(in_i, 2, NO_OP)))
+        advances = m_diag | in_d | in_i
+        flush = advances & (step_op != cur_op)
+        ops, ptr = jax.lax.cond(
+            flush, lambda o, p: emit(o, p, cur_op, run), lambda o, p: (o, p), ops, ptr
+        )
+        run = jnp.where(flush, 1, jnp.where(advances, run + 1, run))
+        cur_op = jnp.where(advances, step_op, cur_op)
+
+        new_i = i - jnp.where(m_diag | in_d, 1, 0)
+        new_j = j - jnp.where(m_diag | in_i, 1, 0)
+        new_state = jnp.where(
+            m_to_d, 1,
+            jnp.where(
+                m_to_i, 2,
+                jnp.where(in_d & (tb_d_ext == 0), 0, jnp.where(in_i & (tb_i_ext == 0), 0, state)),
+            ),
+        )
+        new_state = jnp.where(m_diag | m_stop, 0, new_state)
+        done = done | m_stop
+        return (new_i, new_j, new_state, m, x, g, cur_op, run, ptr, ops, done)
+
+    init = (
+        best_i, best_j, jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        NO_OP, jnp.int32(0), jnp.int32(0),
+        jnp.zeros(cap_ops, dtype=jnp.uint32), jnp.bool_(False),
+    )
+    i, j, _, m, x, g, cur_op, run, ptr, ops, _ = jax.lax.while_loop(cond, body, init)
+    ops, ptr = emit(ops, ptr, cur_op, run)  # flush the final run
+    n_ops = jnp.minimum(ptr, cap_ops)
+    overflow = ptr > cap_ops
+    # Runs were collected end->start; flip the valid prefix to start->end.
+    idx = jnp.arange(cap_ops)
+    flipped = jnp.where(idx < n_ops, ops[jnp.clip(n_ops - 1 - idx, 0, cap_ops - 1)], 0)
+    return m, x, g, i, j, flipped, n_ops, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("gap_open", "gap_extend", "rows_max", "w_pad", "t_pad", "cap_ops")
+)
+def banded_swg_lax_cigars(
+    q_codes: jax.Array, q_lens: jax.Array, t_codes: jax.Array, t_lens: jax.Array,
+    offsets: jax.Array, k_locals: jax.Array, matrix: jax.Array,
+    *, gap_open: int, gap_extend: int, rows_max: int, w_pad: int, t_pad: int,
+    cap_ops: int = MAX_CIGAR_OPS,
+):
+    r"""Like :func:`banded_swg_lax` but also returns per-pair BAM CIGAR runs.
+
+    Returns (SwgResult, ops (B, cap_ops) uint32, n_ops (B,), overflow (B,)).
+    Used for the opt-in ``do_cigar`` mapper mode (the reference maps with
+    ``do_cigar=True`` — ``serotyping/core.py:148`` — and ingests CIGARs at
+    ``core/alignment.py:409-446``; typing decisions never read them).
+    """
+    q_codes = q_codes.astype(jnp.int32)
+    t_codes = t_codes.astype(jnp.int32)
+
+    def one(q, t_padded, l1, l2, off, kl):
+        tb, best, bi, bj = _fill_band(
+            q, t_padded, l1, l2, off, kl, matrix, gap_open, gap_extend, rows_max, w_pad
+        )
+        m, x, g, si, sj, ops, n_ops, overflow = _traceback_cigar(
+            tb, q, t_padded, bi, bj, off, w_pad, rows_max, t_pad, cap_ops
+        )
+        return SwgResult(best, m, x, g, si, bi, sj, bj), ops, n_ops, overflow
+
+    return jax.vmap(one)(q_codes, t_codes, q_lens, t_lens, offsets, k_locals)
+
+
 # Host-facing helpers ---------------------------------------------------------------------------------------------------
 def pad_ragged_to_matrix(
     seqs: np.ndarray, offsets: np.ndarray, lengths: np.ndarray, width: int, pad: int = 0

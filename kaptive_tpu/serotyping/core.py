@@ -63,6 +63,7 @@ class Serotyper:
         scoring_metric: str = "scores",
         min_gene_coverage: float = 0.20,
         partial_edge_tolerance: int = 5,
+        mesh=None,
     ) -> None:
         self._db = db
         self.max_other_genes = max_other_genes
@@ -72,7 +73,10 @@ class Serotyper:
         self.scoring_metric = scoring_metric
         self.min_gene_coverage = min_gene_coverage
         self.partial_edge_tolerance = partial_edge_tolerance
-        self._protein_aligner = PairwiseAligner()
+        # Optional jax.sharding.Mesh with (data, model) axes: assemblies shard
+        # over data, the gene table over model, DP pairs over every device.
+        self.mesh = mesh
+        self._protein_aligner = PairwiseAligner(mesh=mesh)
 
         # String vocabularies as width-fitted byte arrays for fast fancy-index
         # construction of GeneHits (the reference re-encodes per hit per call).
@@ -99,7 +103,8 @@ class Serotyper:
             assemblies = [GenomeAssembly.ensure(g) for g in genomes]
         with phase_timer("type.map"):
             alns_list = map_genes_batch(
-                db.gene_index, assemblies, self._gene_names, self.mapper_params
+                db.gene_index, assemblies, self._gene_names, self.mapper_params,
+                mesh=self.mesh,
             )
 
         with phase_timer("type.decide"):

@@ -121,3 +121,62 @@ def test_map_empty_assembly(rng):
     ga = _assembly({"empty": b""})
     alns = map_genes(gidx, ga, ("0",))
     assert len(alns) == 0
+
+
+def test_mapper_emits_cigars_consistent_with_stats():
+    """do_cigar parity: BAM CIGAR runs must reconcile with the DP statistics.
+
+    For every hit: sum(M)+sum(I) == aligned query span, sum(M)+sum(D) ==
+    aligned target span, sum(M) == matches+mismatches, and the byte-string
+    round-trip through parse_cigar_string is lossless.  (Reference maps with
+    do_cigar=True — /root/reference/src/kaptive/serotyping/core.py:148.)
+    """
+    import io
+
+    import numpy as np
+
+    from kaptive_tpu.core.alignment import parse_cigar_string
+    from kaptive_tpu.core.genome import GenomeAssembly
+    from kaptive_tpu.db import Database
+    from kaptive_tpu.ops.mapper import MapperParams, map_genes
+    from synthetic import make_genome_from_locus, make_synthetic_db
+
+    rng = np.random.default_rng(11)
+    import tempfile
+    from pathlib import Path
+
+    tmp = Path(tempfile.mkdtemp())
+    gbk, truth = make_synthetic_db(tmp, rng, n_loci=3, genes_per_locus=4)
+    db = Database.from_genbank(gbk)
+    # Indels + substitutions so CIGARs contain I/D runs, not just one M.
+    from synthetic import mutate_dna, random_dna
+
+    locus = mutate_dna(rng, truth["loci"]["KL2"]["seq"], sub_rate=0.02, indel_rate=0.005)
+    contig = random_dna(rng, 4000) + locus + random_dna(rng, 4000)
+    ga = GenomeAssembly.from_stream(io.BytesIO(b">c1\n%s\n" % contig), "cig")
+
+    names = tuple(str(i) for i in range(len(db.genes)))
+    alns = map_genes(db.gene_index, ga, names, MapperParams(emit_cigars=True))
+    assert len(alns) > 0
+    assert len(alns.cigars) == len(alns)
+    checked = 0
+    for r in range(len(alns)):
+        ops = alns.cigars[r]
+        if len(ops) == 0:  # overflow fallback leaves stats-only hits
+            continue
+        kinds = ops & 0xF
+        runs = ops >> 4
+        m = int(runs[kinds == 0].sum())
+        ins = int(runs[kinds == 1].sum())
+        dele = int(runs[kinds == 2].sum())
+        assert m + ins == alns.q_ends[r] - alns.q_starts[r]
+        assert m + dele == alns.t_ends[r] - alns.t_starts[r]
+        assert m == alns.matches[r] + (alns.mismatches[r] - dele - ins)  # NM = mism+gaps
+        # adjacent runs must alternate op kinds (proper run-length encoding)
+        assert np.all(kinds[1:] != kinds[:-1])
+        checked += 1
+    assert checked > 0
+    # round-trip through the byte-string form
+    strings = alns.cigars.to_strings()
+    for r in range(len(alns)):
+        np.testing.assert_array_equal(parse_cigar_string(strings[r]), alns.cigars[r])

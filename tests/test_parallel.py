@@ -101,3 +101,33 @@ def test_screen_agrees_with_serotyper(setup):
     for i in range(3):
         full = serotyper(assemblies[i])
         assert db.loci.ids[int(best[i])] == full.best_locus_name
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_full_pipeline_sharded_equals_single(setup, mesh_shape):
+    """The REAL typing pipeline under shard_map must reproduce single-device
+    results exactly: best locus, gene states, and full KaptiveRow TSV bytes
+    (SURVEY.md §2.3 contract: merged scores equal the single-device result)."""
+    from kaptive_tpu.serotyping import Serotyper
+    from kaptive_tpu.serotyping.io import KaptiveRow
+
+    db, assemblies, true_loci = setup
+    data, model = mesh_shape
+    mesh = make_mesh(data * model, model_parallel=model, devices=jax.devices("cpu"))
+
+    single = Serotyper(db).batch(assemblies)
+    sharded = Serotyper(db, mesh=mesh).batch(assemblies)
+    for s, m, ln in zip(single, sharded, true_loci):
+        assert m.best_locus_name == ln
+        np.testing.assert_array_equal(s.gene_states, m.gene_states)
+        assert bytes(KaptiveRow.from_result(s)) == bytes(KaptiveRow.from_result(m))
+
+
+def test_sharded_pipeline_uneven_batch(setup):
+    """Batches that don't divide the data axis pad with empty streams."""
+    from kaptive_tpu.serotyping import Serotyper
+
+    db, assemblies, true_loci = setup
+    mesh = make_mesh(8, model_parallel=2, devices=jax.devices("cpu"))
+    results = Serotyper(db, mesh=mesh).batch(assemblies[:3])
+    assert [r.best_locus_name for r in results] == true_loci[:3]
