@@ -19,7 +19,7 @@ from typing import Any, Self
 import numpy as np
 import numpy.typing as npt
 
-from kaptive_tpu.bgc.orf import find_orfs, resolve_overlaps
+from kaptive_tpu.bgc.orf import find_orfs, recover_frameshifts, resolve_overlaps
 from kaptive_tpu.core.genome import GenomeAssembly
 from kaptive_tpu.core.interval import Intervals
 from kaptive_tpu.core.kmers import RandstrobeIndex, Seeds
@@ -146,7 +146,7 @@ class Annotator:
         def _predict(seq_bytes: bytes):
             if len(seq_bytes) < 3:
                 return []
-            return resolve_overlaps(find_orfs(seq_bytes, min_codons=self.min_codons))
+            return recover_frameshifts(resolve_overlaps(find_orfs(seq_bytes, min_codons=self.min_codons)))
 
         with ThreadPoolExecutor() as executor:
             batch_results = list(executor.map(_predict, seq_bytes_list))

@@ -100,3 +100,39 @@ def resolve_overlaps(orfs: list[Orf], max_overlap: int = 60) -> list[Orf]:
             kept.append(i)
     kept.sort(key=lambda i: orfs[i].start)
     return [orfs[i] for i in kept]
+
+
+def recover_frameshifts(orfs: list[Orf], max_gap: int = 45) -> list[Orf]:
+    r"""Join ORF fragments split by a sequencing indel (FragGeneScan-like).
+
+    FragGeneScan's HMM (wrapped by pyfgs in the reference,
+    ``bgc/annotate.py:261-278``) models insertions/deletions, so a gene broken
+    by a 1-2 bp indel is still called as one gene.  A plain six-frame scan
+    yields two fragments in different frames instead.  This pass merges
+    same-strand fragments whose frames differ and whose gap/overlap is within
+    ``max_gap`` bases — real neighbouring genes are separated by longer
+    spacers, and same-frame neighbours (legitimate tandem genes) never merge.
+    """
+    if len(orfs) < 2:
+        return list(orfs)
+    ordered = sorted(orfs, key=lambda o: (o.start, o.end))
+    out: list[Orf] = []
+    for orf in ordered:
+        if out:
+            prev = out[-1]
+            gap = orf.start - prev.end
+            frame_differs = (orf.start - prev.start) % 3 != 0
+            if (
+                prev.strand == orf.strand
+                and frame_differs
+                and -max_gap <= gap <= max_gap
+            ):
+                joined = (
+                    prev.translation + orf.translation
+                    if orf.strand == 1
+                    else orf.translation + prev.translation
+                )
+                out[-1] = Orf(prev.start, max(prev.end, orf.end), prev.strand, joined)
+                continue
+        out.append(orf)
+    return out

@@ -183,11 +183,16 @@ def blosum62_matrix(fill_value: int = -128) -> npt.NDArray[np.int8]:
     return score_matrix
 
 
-def _bucket_size(x: int, minimum: int = 64) -> int:
-    r"""Smallest power-of-two >= x (>= minimum) to bound jit recompilations."""
+def _bucket_size(x: int, minimum: int = 64, factor: int = 2) -> int:
+    r"""Smallest ``minimum * factor**k`` >= x, bounding jit recompilations.
+
+    ``factor=4`` trades padded DP cells (cheap on device) for a 2x smaller
+    compiled-shape lattice — every distinct shape costs a compile, a
+    first-execution load and per-batch dispatch round trips on tunneled TPUs.
+    """
     size = minimum
     while size < x:
-        size *= 2
+        size *= factor
     return size
 
 
@@ -237,6 +242,18 @@ class PairwiseAligner:
 _RESULT_FIELDS = ("scores", "matches", "mismatches", "gaps", "q_starts", "q_ends", "t_starts", "t_ends")
 
 
+@cache
+def _stack_result_jit():
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda parts: jnp.stack(parts))
+
+
+def _stack_result(parts):
+    return _stack_result_jit()(parts)
+
+
 def batched_swg_align(
     q_data: np.ndarray, q_offsets: np.ndarray, q_lengths: np.ndarray,
     t_data: np.ndarray, t_offsets: np.ndarray, t_lengths: np.ndarray,
@@ -263,9 +280,9 @@ def batched_swg_align(
 
     n = len(q_offsets)
     w_needed = 2 * k_locals.astype(np.int64) + 3
-    w_buckets = np.array([_bucket_size(int(w), 128) for w in w_needed])
+    w_buckets = np.array([_bucket_size(int(w), 128, factor=4) for w in w_needed])
     joint = np.maximum(np.maximum(q_lengths, t_lengths), 1)
-    size_buckets = np.array([_bucket_size(int(s), 128) for s in joint])
+    size_buckets = np.array([_bucket_size(int(s), 256, factor=4) for s in joint])
 
     out = {k: np.zeros(n, dtype=np.int32) for k in _RESULT_FIELDS}
     keys = size_buckets.astype(np.int64) * 10**5 + w_buckets
@@ -316,11 +333,14 @@ def batched_swg_align(
                 jnp.asarray(do), jnp.asarray(kl),
                 np.asarray(matrix, dtype=np.int32), **statics,
             )
-        launched.append((sel, len(sel), res))
+        # One stacked (8, B) device array per bucket -> ONE device->host
+        # transfer instead of eight (each costs a tunnel round trip).
+        launched.append((sel, len(sel), _stack_result(tuple(res))))
 
-    for sel, b, res in launched:
-        for field in _RESULT_FIELDS:
-            out[field][sel] = np.asarray(getattr(res, field))[:b]
+    for sel, b, stacked in launched:
+        arr = np.asarray(stacked)
+        for i, field in enumerate(_RESULT_FIELDS):
+            out[field][sel] = arr[i, :b]
 
     return PairwiseAlignments(*(out[f] for f in _RESULT_FIELDS))
 

@@ -221,13 +221,17 @@ def _scan_compact_core(packed, valid_bits, *, length: int, cap_mins: int, k: int
     L = length
     codes = unpack_2bit_with_bits(packed, valid_bits, L)
     sel, hashes, strands = minimizer_scan(codes, k, w)
+    # Compact selected positions into [cap_mins] slots.  Ranks are unique for
+    # selected positions, so the scatter carries unique_indices (vectorisable
+    # on TPU); everything else targets an out-of-bounds slot and is dropped.
     rank = jnp.cumsum(sel.astype(jnp.int32)) - 1
-    scatter_to = jnp.where(sel, jnp.minimum(rank, cap_mins), cap_mins)
+    DROP = jnp.int32(0x40000000)
+    scatter_to = jnp.where(sel & (rank < cap_mins), rank, DROP)
     pos = (
-        jnp.full(cap_mins + 1, L, dtype=jnp.int32)
+        jnp.full(cap_mins, L, dtype=jnp.int32)
         .at[scatter_to]
-        .set(jnp.arange(L, dtype=jnp.int32), mode="drop")
-    )[:cap_mins]
+        .set(jnp.arange(L, dtype=jnp.int32), mode="drop", unique_indices=True)
+    )
     ok_min = pos < L
     safe_pos = jnp.minimum(pos, L - 1)
     h = jnp.where(ok_min, hashes[safe_pos], jnp.uint32(0xFFFFFFFF))
@@ -258,18 +262,23 @@ def _match_core(
     word = bloom_words[bit >> 5]
     maybe = ok_min & (((word >> (bit & 31).astype(jnp.uint32)) & 1) == 1)
 
-    # Compact candidates to a fixed-width buffer.
+    # Compact candidates to a fixed-width buffer (unique-rank drop-scatter).
     rank = jnp.cumsum(maybe.astype(jnp.int32)) - 1
     n_candidates = rank[-1] + 1
-    slot = jnp.where(maybe, jnp.minimum(rank, cap_cand), cap_cand)
+    DROP = jnp.int32(0x40000000)
+    slot = jnp.where(maybe & (rank < cap_cand), rank, DROP)
     c_pos = (
-        jnp.full(cap_cand + 1, L, dtype=jnp.int32).at[slot].set(pos, mode="drop")[:cap_cand]
+        jnp.full(cap_cand, L, dtype=jnp.int32)
+        .at[slot].set(pos, mode="drop", unique_indices=True)
     )
     c_h = (
-        jnp.full(cap_cand + 1, jnp.uint32(0xFFFFFFFF))
-        .at[slot].set(h, mode="drop")[:cap_cand]
+        jnp.full(cap_cand, jnp.uint32(0xFFFFFFFF))
+        .at[slot].set(h, mode="drop", unique_indices=True)
     )
-    c_st = jnp.zeros(cap_cand + 1, dtype=st.dtype).at[slot].set(st, mode="drop")[:cap_cand]
+    c_st = (
+        jnp.zeros(cap_cand, dtype=st.dtype)
+        .at[slot].set(st, mode="drop", unique_indices=True)
+    )
     ok_cand = c_pos < L
 
     lo = bucketed_first_ge(table_hashes, bucket_starts, c_h, lookup_iters)
@@ -299,23 +308,48 @@ def _match_core(
     )
 
 
+# The scan's rolled full-genome temporaries are ~L*4 bytes each and XLA
+# materialises them; running the batch axis sequentially (lax.map) keeps peak
+# HBM at one genome's working set while each body still saturates the VPU.
 _scan_compact_batch = jax.jit(
-    lambda p, e, length, cap_mins, k, w: jax.vmap(
-        lambda pp, ee: _scan_compact_core(
-            pp, ee, length=length, cap_mins=cap_mins, k=k, w=w
-        )
-    )(p, e),
+    lambda p, e, length, cap_mins, k, w: jax.lax.map(
+        lambda pe: _scan_compact_core(
+            pe[0], pe[1], length=length, cap_mins=cap_mins, k=k, w=w
+        ),
+        (p, e),
+    ),
     static_argnums=(2, 3, 4, 5),
 )
 
+_ANCHOR_FIELDS = ("valid", "c_flat_pos", "c_strand", "g_idx", "g_pos", "g_strand")
+_COUNT_FIELDS = ("n_minimizers", "n_candidates", "n_anchors")
+
+
+def _pack_match_output(d: dict):
+    r"""Stack the per-field outputs into two device arrays so the host pays
+    two transfer round trips per batch instead of nine."""
+    anchors = jnp.stack([d[k].astype(jnp.int32) for k in _ANCHOR_FIELDS])  # (6, B, cap)
+    counts = jnp.stack([d[k].astype(jnp.int32) for k in _COUNT_FIELDS])  # (3, B)
+    return anchors, counts
+
+
+def unpack_scan_match(anchors: np.ndarray, counts: np.ndarray) -> dict:
+    out = {k: anchors[i] for i, k in enumerate(_ANCHOR_FIELDS)}
+    out["valid"] = out["valid"].astype(bool)
+    out |= {k: counts[i] for i, k in enumerate(_COUNT_FIELDS)}
+    return out
+
+
 _match_batch = jax.jit(
-    lambda pos, h, st, nm, th, tg, tp, ts, bs, rl, bw, length, cap_cand, cap_anchors, iters, max_occ: jax.vmap(
-        lambda a, b, c, d: _match_core(
-            a, b, c, d, th, tg, tp, ts, bs, rl, bw,
-            length=length, cap_cand=cap_cand, cap_anchors=cap_anchors,
-            lookup_iters=iters, max_occ=max_occ,
-        )
-    )(pos, h, st, nm),
+    lambda pos, h, st, nm, th, tg, tp, ts, bs, rl, bw, length, cap_cand, cap_anchors, iters, max_occ: _pack_match_output(
+        jax.vmap(
+            lambda a, b, c, d: _match_core(
+                a, b, c, d, th, tg, tp, ts, bs, rl, bw,
+                length=length, cap_cand=cap_cand, cap_anchors=cap_anchors,
+                lookup_iters=iters, max_occ=max_occ,
+            )
+        )(pos, h, st, nm)
+    ),
     static_argnums=(11, 12, 13, 14, 15),
 )
 
@@ -345,9 +379,6 @@ def scan_match_batch(
     )
 
 
-EDGE_CAP = 4096  # max contigs per assembly x2 in the packed-edge representation
-
-
 def _packed_inputs(contig_index) -> tuple[np.ndarray, np.ndarray, int]:
     r"""2-bit packed stream + bit-packed validity mask for device upload (cached)."""
     from kaptive_tpu.ops.minimizer import pack_2bit, pack_valid_bits
@@ -360,6 +391,20 @@ def _packed_inputs(contig_index) -> tuple[np.ndarray, np.ndarray, int]:
     )
 
 
+def _device_inputs(contig_index):
+    r"""Device copies of the packed stream (cached).
+
+    Ingest threads call this ahead of time so the host->device upload of the
+    NEXT batch overlaps the current batch's compute (the tunnel moves ~2 MB
+    per genome; serialising it inside the mapping phase costs ~0.1 s/genome).
+    """
+    if "dev_packed" not in contig_index._cache:
+        pb, vb, _ = _packed_inputs(contig_index)
+        contig_index._cache["dev_packed"] = jnp.asarray(pb)
+        contig_index._cache["dev_bits"] = jnp.asarray(vb)
+    return contig_index._cache["dev_packed"], contig_index._cache["dev_bits"]
+
+
 def find_anchors_device(gene_index: GeneIndex, contig_index, params: MapperParams):
     r"""Device seeding path: returns the same anchor arrays as :func:`find_anchors`."""
     packed, bits, L = _packed_inputs(contig_index)
@@ -370,13 +415,14 @@ def find_anchors_device(gene_index: GeneIndex, contig_index, params: MapperParam
     # counts are 1e3-1e5 (locus region x homologous loci), and the transferred
     # arrays scale with this cap — keep it tight, grow on overflow.
     cap_anchors = ANCHOR_CAP
-    out = scan_match_batch(
+    anchors_d, counts_d = scan_match_batch(
         jnp.asarray(packed[None]), jnp.asarray(bits[None]), th, tg, tp, ts, bs, rl,
         gene_index.device_bloom,
         length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
         max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
     )
-    out = {key: np.asarray(v)[0] for key, v in out.items()}
+    out = unpack_scan_match(np.asarray(anchors_d), np.asarray(counts_d))
+    out = {key: v[0] for key, v in out.items()}
     if (
         int(out["n_minimizers"]) > cap_mins
         or int(out["n_candidates"]) > CANDIDATE_CAP
@@ -696,17 +742,23 @@ def map_genes_batch(
     if n_genomes == 0:
         return []
 
-    # Stack 2-bit packed code streams to a common bucket width (transfer over
-    # the host->device link is 4x smaller than raw codes; sentinels are
-    # reconstructed on device from the contig edge lists).
+    # Stack 2-bit packed code streams to a common bucket width.  Each genome's
+    # stream is uploaded per-row (usually already resident: the ingest threads
+    # pre-upload via _device_inputs) and stacked ON DEVICE — the 2 MB/genome
+    # H2D then overlaps the previous batch's compute instead of serialising
+    # inside the mapping phase.  Sentinel padding rows are semantically inert.
     with phase_timer("map.pack_upload"):
         L = max(int(ci.codes.shape[0]) for ci in indexes)
-        packed = np.zeros((n_genomes, L // 4), dtype=np.uint8)
-        bits = np.zeros((n_genomes, L // 8), dtype=np.uint8)
-        for b, ci in enumerate(indexes):
-            pb, vb, _ = _packed_inputs(ci)
-            packed[b, : len(pb)] = pb
-            bits[b, : len(vb)] = vb
+        rows_p, rows_b = [], []
+        for ci in indexes:
+            dp, db_ = _device_inputs(ci)
+            if int(dp.shape[0]) < L // 4:
+                dp = jnp.pad(dp, (0, L // 4 - int(dp.shape[0])))
+                db_ = jnp.pad(db_, (0, L // 8 - int(db_.shape[0])))
+            rows_p.append(dp)
+            rows_b.append(db_)
+        packed_d = jnp.stack(rows_p)
+        bits_d = jnp.stack(rows_b)
 
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
     cap_anchors = ANCHOR_CAP
@@ -719,9 +771,12 @@ def map_genes_batch(
         if key not in gene_index._cache:
             gene_index._cache[key] = ShardedGeneTable.build(gene_index, model_axis)
         pad_to = -(-n_genomes // data_axis) * data_axis
-        if pad_to != n_genomes:  # sentinel rows: no valid bases -> no anchors
-            packed = np.concatenate([packed, np.zeros((pad_to - n_genomes, L // 4), np.uint8)])
-            bits = np.concatenate([bits, np.zeros((pad_to - n_genomes, L // 8), np.uint8)])
+        packed = np.zeros((pad_to, L // 4), dtype=np.uint8)
+        bits = np.zeros((pad_to, L // 8), dtype=np.uint8)
+        for b, ci in enumerate(indexes):  # pad rows: no valid bases -> no anchors
+            pb, vb, _ = _packed_inputs(ci)
+            packed[b, : len(pb)] = pb
+            bits[b, : len(vb)] = vb
         with phase_timer("map.scan_match"):
             out = sharded_scan_match(
                 mesh, packed, bits, gene_index._cache[key],
@@ -733,13 +788,21 @@ def map_genes_batch(
         th, tg, tp, ts = gene_index.device_table
         bs, rl, iters = gene_index.device_lookup
         with phase_timer("map.scan_match"):
-            out = scan_match_batch(
-                jnp.asarray(packed), jnp.asarray(bits), th, tg, tp, ts, bs, rl,
+            anchors_d, counts_d = scan_match_batch(
+                packed_d, bits_d, th, tg, tp, ts, bs, rl,
                 gene_index.device_bloom,
                 length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
                 max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
             )
-            out = {key: np.asarray(v) for key, v in out.items()}
+            # Two-step download: the tiny counters first, then only the live
+            # anchor prefix (quantised) — most of the fixed-cap buffer is
+            # padding and the tunnel moves ~40 MB/s.
+            counts_np = np.asarray(counts_d)
+            live = min(cap_anchors, max(int(counts_np[2].max()), 1))
+            live = min(-(-live // 1024) * 1024, cap_anchors)
+            anchors_np = np.zeros((len(_ANCHOR_FIELDS), n_genomes, cap_anchors), np.int32)
+            anchors_np[:, :, :live] = np.asarray(anchors_d[:, :, :live])
+            out = unpack_scan_match(anchors_np, counts_np)
 
     # Per-genome host phases: anchors -> chains -> extension problems.
     all_chains: list[dict | None] = []

@@ -86,7 +86,7 @@ def pack_2bit(codes: np.ndarray) -> np.ndarray:
     r"""Pack base codes 4-per-byte for cheap host->device transfer.
 
     Sentinels (code 4) are packed as 0; callers reconstruct the sentinel mask
-    on device from contig boundary edges (:func:`unpack_2bit_with_edges`).
+    on device from the bit-packed validity mask (:func:`unpack_2bit_with_bits`).
     Length must be a multiple of 4 (bucket padding guarantees this).
     """
     clean = np.where(codes < 4, codes, 0).astype(np.uint8)
@@ -115,32 +115,6 @@ def unpack_2bit_with_bits(packed: jax.Array, valid_bits: jax.Array, length: int)
     vb = valid_bits.astype(jnp.uint8)
     bits = jnp.stack([(vb >> i) & 1 for i in range(8)], axis=-1).reshape(length)
     return jnp.where(bits == 1, quads, SENTINEL).astype(jnp.uint8)
-
-
-def unpack_2bit_with_edges(packed: jax.Array, edges: jax.Array, length: int) -> jax.Array:
-    r"""Device-side unpack: 2-bit codes + sentinel reconstruction from contig edges.
-
-    ``edges`` is the sorted interleaved array [start0, end0, start1, end1, ...]
-    of contig spans within the flat stream (padded with ``length`` pairs);
-    positions covered by an odd number of preceding edges are inside a contig.
-    """
-    p = packed.astype(jnp.uint32)
-    quads = jnp.stack(
-        [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=-1
-    ).reshape(length)
-    pos = jnp.arange(length, dtype=jnp.int32)
-    inside = (jnp.searchsorted(edges, pos, side="right") % 2) == 1
-    return jnp.where(inside, quads, SENTINEL).astype(jnp.uint8)
-
-
-def contig_edges(starts: np.ndarray, lengths: np.ndarray, flat_len: int, pad_to: int) -> np.ndarray:
-    r"""Interleaved sorted [start, end) edges of contigs in the flat stream."""
-    edges = np.empty(2 * len(starts), dtype=np.int32)
-    edges[0::2] = starts
-    edges[1::2] = starts + lengths
-    out = np.full(pad_to, flat_len, dtype=np.int32)
-    out[: len(edges)] = edges[: pad_to]
-    return out
 
 
 def _mix32(x: jax.Array) -> jax.Array:
@@ -197,8 +171,16 @@ def minimizer_scan(codes: jax.Array, k: int = DEFAULT_K, w: int = DEFAULT_W):
         best_pos = jnp.where(take, cand_pos, best_pos)
     window_valid = (best != UINT32_MAX) & (jnp.arange(L) < L - k - w + 2)
 
-    scatter_idx = jnp.where(window_valid, best_pos, L)
-    selected = jnp.zeros(L, dtype=jnp.bool_).at[scatter_idx].set(True, mode="drop")
+    # Position p is a minimizer iff some window starting in (p-w, p] picked it.
+    # Expressed as w shifted compares (unrolled: XLA fuses the OR chain into a
+    # couple of passes); a scatter here would serialise on TPU — colliding
+    # indices defeat vectorised scatter.  Callers bound peak memory by
+    # sequencing the batch axis (lax.map in the mapper).
+    pos_idx = jnp.arange(L, dtype=jnp.int32)
+    delta = jnp.where(window_valid, best_pos - pos_idx, -1)  # in [0, w) when valid
+    selected = delta == 0
+    for d in range(1, w):
+        selected |= jnp.roll(delta == d, d) & (pos_idx >= d)
     selected = selected & valid
     return selected, hashes, strands
 

@@ -315,6 +315,14 @@ def banded_swg(
         ok = swg_pallas.pallas_compatible(
             int(q_codes.shape[0]), rows_max, w_pad, compressed
         )
+        if impl == "pallas" and not ok:
+            # A forced Pallas request must fail loudly: a silent lax fallback
+            # would make Pallas-vs-lax parity tests vacuous.
+            raise ValueError(
+                f"impl='pallas' forced but bucket (b={int(q_codes.shape[0])}, "
+                f"rows={rows_max}, w_pad={w_pad}) or matrix is outside the "
+                "Pallas kernel contract"
+            )
         if ok and (impl == "pallas" or not interpret):
             row_lut, col_lut, small = compressed
             return swg_pallas.banded_swg_pallas(

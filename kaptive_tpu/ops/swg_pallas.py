@@ -78,9 +78,13 @@ _COMPRESS_CACHE: dict = {}
 
 
 def compress_matrix_cached(matrix: np.ndarray):
-    key = hash(matrix.tobytes())
+    # Key on the exact bytes (plus shape/dtype), never a hash of them: a hash
+    # collision between two substitution matrices would silently corrupt every
+    # alignment score.  The few-hundred-KB keys exist once per distinct matrix.
+    arr = np.asarray(matrix, dtype=np.int32)
+    key = (arr.shape, arr.tobytes())
     if key not in _COMPRESS_CACHE:
-        _COMPRESS_CACHE[key] = compress_matrix(np.asarray(matrix, dtype=np.int32))
+        _COMPRESS_CACHE[key] = compress_matrix(arr)
     return _COMPRESS_CACHE[key]
 
 
@@ -428,15 +432,20 @@ def banded_swg_pallas(
     return jax.vmap(one)(tb, q32, t32, best, bi, bj, offsets.astype(jnp.int32))
 
 
-def pallas_compatible(
-    b: int, rows_max: int, w_pad: int, compressed, backend: str | None = None
-) -> bool:
-    r"""True when the bucket shape and matrix fit the Pallas kernel contract."""
+# VMEM ceiling for the kernel's per-step working set: the int8 traceback block
+# plus scratch scale as PAIRS * ROW_TILE * w_pad; beyond ~2048 band lanes the
+# block approaches Mosaic's VMEM budget and the lax path is safer.
+MAX_W_PAD = 2048
+
+
+def pallas_compatible(b: int, rows_max: int, w_pad: int, compressed) -> bool:
+    r"""True when the bucket shape and matrix fit the Pallas kernel contract
+    (tile alignment and the VMEM bound on the band width)."""
     if compressed is None:
         return False
     return (
         b % PAIRS == 0
         and rows_max % ROW_TILE == 0
         and w_pad % 128 == 0
-        and w_pad >= 128
+        and 128 <= w_pad <= MAX_W_PAD
     )

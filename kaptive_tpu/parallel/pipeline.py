@@ -22,9 +22,11 @@ from kaptive_tpu.core.genome import GenomeAssembly
 def _load_and_index(path: str | Path | IO[bytes]) -> GenomeAssembly:
     ga = GenomeAssembly.ensure(path)
     ga.get_minimizer_index()  # encode + pack on the ingest thread
-    from kaptive_tpu.ops.mapper import _packed_inputs
+    from kaptive_tpu.ops.mapper import _device_inputs
 
-    _packed_inputs(ga.minimizer_index)
+    # Pre-upload the packed stream so the H2D transfer overlaps the device's
+    # work on the current batch (JAX transfers are async).
+    _device_inputs(ga.minimizer_index)
     return ga
 
 

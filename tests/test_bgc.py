@@ -194,3 +194,53 @@ def test_train_predict_cycle(db, rng):
     for i in range(len(preds)):
         name, sc, orf_inds, p, prots = preds[i]
         assert len(orf_inds) == len(p) == len(prots)
+
+
+def test_orf_frameshift_recovery():
+    """A 1-bp deletion mid-gene must not split the call (pyfgs parity trait):
+    the merged call covers >= 90% of the original gene span."""
+    import numpy as np
+
+    from kaptive_tpu.bgc.orf import find_orfs, recover_frameshifts
+    from synthetic import make_orf, random_dna
+
+    rng = np.random.default_rng(99)
+    gene = make_orf(rng, 200)  # 600 bp
+    # delete one base mid-gene -> downstream shifts frame
+    broken = gene[:300] + gene[301:]
+    seq = random_dna(rng, 400) + broken + random_dna(rng, 400)
+
+    from kaptive_tpu.bgc.orf import resolve_overlaps
+
+    plain = [o for o in resolve_overlaps(find_orfs(seq, min_codons=30)) if o.strand == 1]
+    merged = recover_frameshifts(plain)
+    span = (400, 400 + len(broken))
+    best_plain = max((min(o.end, span[1]) - max(o.start, span[0]) for o in plain), default=0)
+    best_merged = max((min(o.end, span[1]) - max(o.start, span[0]) for o in merged), default=0)
+    assert best_merged >= 0.9 * (span[1] - span[0]), best_merged
+    assert best_merged >= best_plain  # the pass never loses coverage
+
+
+def test_orf_frameshift_recovery_keeps_distinct_genes_apart():
+    """Tandem genes separated by a real spacer must stay separate calls."""
+    import numpy as np
+
+    from kaptive_tpu.bgc.orf import find_orfs, recover_frameshifts
+    from synthetic import make_orf, random_dna
+
+    rng = np.random.default_rng(100)
+    g1, g2 = make_orf(rng, 120), make_orf(rng, 150)
+    seq = random_dna(rng, 300) + g1 + random_dna(rng, 120) + g2 + random_dna(rng, 300)
+    from kaptive_tpu.bgc.orf import resolve_overlaps
+
+    fwd = [o for o in resolve_overlaps(find_orfs(seq, min_codons=40)) if o.strand == 1]
+    merged = recover_frameshifts(fwd)
+    # both genes still present as separate calls
+    spans = [(o.start, o.end) for o in merged]
+    s1 = (300, 300 + len(g1))
+    s2 = (300 + len(g1) + 120, 300 + len(g1) + 120 + len(g2))
+    for s in (s1, s2):
+        assert any(
+            min(e, s[1]) - max(b, s[0]) >= 0.9 * (s[1] - s[0]) for b, e in spans
+        ), (s, spans)
+    assert len(merged) >= 2
