@@ -33,6 +33,7 @@ and reported (no per-query best-N pruning), mirroring the reference's
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -351,6 +352,138 @@ _match_batch = jax.jit(
         )(pos, h, st, nm)
     ),
     static_argnums=(11, 12, 13, 14, 15),
+)
+
+
+# --- row-compact seeding path (Pallas scan kernel + gather-light match) ------
+#
+# The XLA seeding path above streams ~60 full-genome arrays through HBM and
+# compacts 8M positions with a ~9 ns/element scatter; the row-compact path
+# runs the whole scan in VMEM tiles (ops/scan_pallas.py) and its match stage
+# never touches an 8M-scale gather/scatter: the only full-width random-memory
+# op left is the bloom-membership gather over the (rows, 32) minimizer slots.
+
+
+@functools.partial(jax.jit, static_argnames=("length", "k", "w", "impl"))
+def _rowcompact_batch(packed, bits, *, length: int, k: int, w: int, impl: str):
+    from kaptive_tpu.ops.scan_pallas import (
+        rowcompact_scan_tpu,
+        rowcompact_scan_xla,
+        unpack_to_padded,
+    )
+
+    padded = jax.vmap(lambda p, e: unpack_to_padded(p, e, length))(packed, bits)
+    if impl == "pallas":
+        return rowcompact_scan_tpu(padded, k, w)
+    return rowcompact_scan_xla(padded, k, w)
+
+
+def _match_rows_core(
+    h_rows, aux_rows, counts,
+    table_hashes, table_genes, table_pos, table_strands, bucket_starts, run_len,
+    bloom_words,
+    *, cap_cand: int, cap_anchors: int, lookup_iters: int, max_occ: int,
+):
+    r"""Match row-compacted minimizers against the gene table.
+
+    All expansion steps use scatter+cummax segment fills over fixed-capacity
+    buffers (64K-scale) instead of ``searchsorted`` — binary searches over
+    large arrays lower to per-element gather loops on TPU.
+    """
+    from kaptive_tpu.ops.scan_pallas import ROW, SLOTS, compact_lanes
+
+    R = h_rows.shape[0]
+    T = table_hashes.shape[0]
+    DROP = jnp.int32(0x40000000)
+
+    ok = h_rows != jnp.uint32(0xFFFFFFFF)
+    bit = (h_rows & jnp.uint32((1 << BLOOM_BITS) - 1)).astype(jnp.int32)
+    word = bloom_words[bit >> 5]
+    maybe = ok & (((word >> (bit & 31).astype(jnp.uint32)) & 1) == 1)
+
+    # Compact bloom survivors within each row's 32 lanes (streaming butterfly).
+    live, (hc, auxc), _ = compact_lanes(maybe, (h_rows, aux_rows), SLOTS, SLOTS)
+    row_cnt = jnp.sum(maybe.astype(jnp.int32), axis=-1)  # (R,)
+
+    # Expand rows -> flat candidate list via scatter + cummax segment fill.
+    offs = jnp.cumsum(row_cnt) - row_cnt
+    n_cand = offs[-1] + row_cnt[-1]
+    slot = jnp.where(row_cnt > 0, offs, DROP)
+    owner = (
+        jnp.zeros(cap_cand, jnp.int32)
+        .at[slot].max(jnp.arange(R, dtype=jnp.int32), mode="drop")
+    )
+    owner = jax.lax.cummax(owner)
+    j = jnp.arange(cap_cand, dtype=jnp.int32)
+    within = j - offs[owner]
+    ok_c = (j < n_cand) & (within >= 0) & (within < row_cnt[owner])
+    flat_idx = owner * SLOTS + jnp.clip(within, 0, SLOTS - 1)
+    c_h = jnp.where(ok_c, hc.reshape(-1)[flat_idx], jnp.uint32(0xFFFFFFFF))
+    c_aux = jnp.where(ok_c, auxc.reshape(-1)[flat_idx], 0)
+    c_pos = owner * ROW + (c_aux & (ROW - 1))
+    c_strand = (c_aux >> 7) & 1
+
+    # Bucketed binary search over the (small) candidate set.
+    lo = bucketed_first_ge(table_hashes, bucket_starts, c_h, lookup_iters)
+    exact = table_hashes[jnp.minimum(lo, T - 1)] == c_h
+    n_hits = jnp.where(exact & (lo < T), run_len[jnp.minimum(lo, T - 1)], 0)
+    cnt2 = jnp.where(ok_c, jnp.minimum(n_hits, max_occ), 0).astype(jnp.int32)
+
+    # Expand candidates -> anchors (same scatter + cummax fill).
+    cum2 = jnp.cumsum(cnt2) - cnt2
+    total = cum2[-1] + cnt2[-1]
+    slot2 = jnp.where(cnt2 > 0, cum2, DROP)
+    owner2 = (
+        jnp.zeros(cap_anchors, jnp.int32)
+        .at[slot2].max(jnp.arange(cap_cand, dtype=jnp.int32), mode="drop")
+    )
+    owner2 = jax.lax.cummax(owner2)
+    j2 = jnp.arange(cap_anchors, dtype=jnp.int32)
+    within2 = j2 - cum2[owner2]
+    ok_a = (j2 < total) & (within2 >= 0) & (within2 < cnt2[owner2])
+    ti = jnp.clip(lo[owner2] + within2, 0, T - 1)
+
+    return dict(
+        valid=ok_a,
+        c_flat_pos=jnp.where(ok_a, c_pos[owner2], 0).astype(jnp.int32),
+        c_strand=c_strand[owner2],
+        g_idx=jnp.where(ok_a, table_genes[ti], 0).astype(jnp.int32),
+        g_pos=jnp.where(ok_a, table_pos[ti], 0).astype(jnp.int32),
+        g_strand=table_strands[ti],
+        n_minimizers=counts.sum(),
+        n_candidates=n_cand,
+        n_anchors=total,
+        row_overflow=(counts > SLOTS).any().astype(jnp.int32),
+    )
+
+
+_ROW_COUNT_FIELDS = ("n_minimizers", "n_candidates", "n_anchors", "row_overflow")
+
+
+def _pack_match_rows_output(d: dict):
+    anchors = jnp.stack([d[k].astype(jnp.int32) for k in _ANCHOR_FIELDS])
+    counts = jnp.stack([d[k].astype(jnp.int32) for k in _ROW_COUNT_FIELDS])
+    return anchors, counts
+
+
+def unpack_match_rows(anchors: np.ndarray, counts: np.ndarray) -> dict:
+    out = {k: anchors[i] for i, k in enumerate(_ANCHOR_FIELDS)}
+    out["valid"] = out["valid"].astype(bool)
+    out |= {k: counts[i] for i, k in enumerate(_ROW_COUNT_FIELDS)}
+    return out
+
+
+_match_rows_batch = jax.jit(
+    lambda h, a, c, th, tg, tp, ts, bs, rl, bw, cap_cand, cap_anchors, iters, max_occ: _pack_match_rows_output(
+        jax.vmap(
+            lambda hh, aa, cc: _match_rows_core(
+                hh, aa, cc, th, tg, tp, ts, bs, rl, bw,
+                cap_cand=cap_cand, cap_anchors=cap_anchors,
+                lookup_iters=iters, max_occ=max_occ,
+            )
+        )(h, a, c)
+    ),
+    static_argnums=(10, 11, 12, 13),
 )
 
 
@@ -785,14 +918,21 @@ def map_genes_batch(
             )
             out = {key2: v[:n_genomes] for key2, v in out.items()}
     else:
+        from kaptive_tpu.ops.scan_pallas import supports_pallas_scan
+
         th, tg, tp, ts = gene_index.device_table
         bs, rl, iters = gene_index.device_lookup
+        impl = os.environ.get(
+            "KAPTIVE_SCAN_IMPL", "pallas" if supports_pallas_scan(L) else "xla"
+        )
         with phase_timer("map.scan_match"):
-            anchors_d, counts_d = scan_match_batch(
-                packed_d, bits_d, th, tg, tp, ts, bs, rl,
+            rows_h, rows_a, rows_c = _rowcompact_batch(
+                packed_d, bits_d, length=L, k=gene_index.k, w=gene_index.w, impl=impl
+            )
+            anchors_d, counts_d = _match_rows_batch(
+                rows_h, rows_a, rows_c, th, tg, tp, ts, bs, rl,
                 gene_index.device_bloom,
-                length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
-                max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
+                CANDIDATE_CAP, cap_anchors, iters, DEVICE_MAX_OCC,
             )
             # Two-step download: the tiny counters first, then only the live
             # anchor prefix (quantised) — most of the fixed-cap buffer is
@@ -802,7 +942,7 @@ def map_genes_batch(
             live = min(-(-live // 1024) * 1024, cap_anchors)
             anchors_np = np.zeros((len(_ANCHOR_FIELDS), n_genomes, cap_anchors), np.int32)
             anchors_np[:, :, :live] = np.asarray(anchors_d[:, :, :live])
-            out = unpack_scan_match(anchors_np, counts_np)
+            out = unpack_match_rows(anchors_np, counts_np)
 
     # Per-genome host phases: anchors -> chains -> extension problems.
     all_chains: list[dict | None] = []
@@ -811,8 +951,11 @@ def map_genes_batch(
     chain_timer.__enter__()
     for b, ci in enumerate(indexes):
         overflow = (
-            int(out["n_minimizers"][b]) > cap_mins
-            or int(out["n_candidates"][b]) > CANDIDATE_CAP
+            int(out["row_overflow"][b]) > 0
+            if "row_overflow" in out
+            else int(out["n_minimizers"][b]) > cap_mins
+        ) or (
+            int(out["n_candidates"][b]) > CANDIDATE_CAP
             or int(out["n_anchors"][b]) > cap_anchors
         )
         if overflow:
