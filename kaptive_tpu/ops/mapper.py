@@ -135,6 +135,15 @@ class GeneIndex:
         return self._cache["lookup"]
 
     @property
+    def device_gene_lengths(self):
+        r"""Device copy of per-gene lengths (for the device chainer)."""
+        if "glen" not in self._cache:
+            import jax.numpy as jnp
+
+            self._cache["glen"] = jnp.asarray(self.lengths.astype(np.int32))
+        return self._cache["glen"]
+
+    @property
     def device_bloom(self):
         r"""Membership bitmap over table hashes (device-cached).
 
@@ -485,6 +494,89 @@ _match_rows_batch = jax.jit(
     ),
     static_argnums=(10, 11, 12, 13),
 )
+
+
+CHAIN_CAP = 4096  # per-genome chain capacity for the device chainer
+
+_CHAIN_FIELDS = (
+    "gene", "ctg", "strand", "count",
+    "t_min", "t_max", "q_min", "q_max", "d_min", "d_max",
+)
+
+
+def _chain_core(
+    anchors: dict, contig_starts, gene_lengths,
+    *, k: int, cap_chains: int, max_diag_drift: int, max_anchor_gap: int,
+):
+    r"""Device single-linkage chaining (mirrors :func:`chain_anchors`).
+
+    One multi-key sort + shifted compares + segment scatters over the 64K
+    anchor buffer; emits fixed-capacity chain descriptor arrays so only
+    ~``cap_chains`` rows ever cross the tunnel (the raw anchor buffer —
+    hundreds of times larger — stays device-resident).
+    """
+    BIG = jnp.int32(0x7FFFFFFF)
+    DROP = jnp.int32(0x40000000)
+    valid = anchors["valid"]
+    flat_pos = anchors["c_flat_pos"]
+    c_idx = jnp.searchsorted(contig_starts, flat_pos, side="right").astype(jnp.int32) - 1
+    c_local = flat_pos - contig_starts[c_idx]
+    rel = jnp.where(anchors["g_strand"] == anchors["c_strand"], 1, -1).astype(jnp.int32)
+    glen = gene_lengths[anchors["g_idx"]]
+    qp = jnp.where(rel > 0, anchors["g_pos"], glen - k - anchors["g_pos"])
+    diag = c_local - qp
+
+    g_sort = jnp.where(valid, anchors["g_idx"], BIG)
+    gs, cs, ss, ds, ts, qs = jax.lax.sort(
+        (g_sort, c_idx, rel, diag, c_local, qp), num_keys=5
+    )
+    valid_s = gs != BIG
+    first = jnp.zeros(gs.shape, bool).at[0].set(True)
+    prev = lambda x: jnp.roll(x, 1)
+    new_group = first | (gs != prev(gs)) | (cs != prev(cs)) | (ss != prev(ss))
+    brk = new_group
+    brk = brk | ((ds - prev(ds)) > max_diag_drift)
+    brk = brk | (jnp.abs(ts - prev(ts)) > max_anchor_gap)
+    brk = brk & valid_s
+    chain_id = jnp.cumsum(brk.astype(jnp.int32)) - 1
+    n_chains = brk.sum()
+
+    cid = jnp.where(valid_s & (chain_id < cap_chains) & (chain_id >= 0), chain_id, DROP)
+
+    def seg_min(x):
+        return jnp.full(cap_chains, BIG, jnp.int32).at[cid].min(x, mode="drop")
+
+    def seg_max(x):
+        return jnp.full(cap_chains, -BIG, jnp.int32).at[cid].max(x, mode="drop")
+
+    out = dict(
+        gene=seg_max(gs), ctg=seg_max(cs), strand=seg_max(ss),
+        count=jnp.zeros(cap_chains, jnp.int32).at[cid].add(1, mode="drop"),
+        t_min=seg_min(ts), t_max=seg_max(ts),
+        q_min=seg_min(qs), q_max=seg_max(qs),
+        d_min=seg_min(ds), d_max=seg_max(ds),
+    )
+    return jnp.stack([out[f] for f in _CHAIN_FIELDS]), n_chains
+
+
+def _chain_batch_impl(
+    anchors, counts, contig_starts, gene_lengths,
+    k, cap_chains, max_diag_drift, max_anchor_gap,
+):
+    def per_genome(anch, starts):
+        d = {key: anch[i] for i, key in enumerate(_ANCHOR_FIELDS)}
+        d["valid"] = d["valid"].astype(bool)
+        return _chain_core(
+            d, starts, gene_lengths,
+            k=k, cap_chains=cap_chains,
+            max_diag_drift=max_diag_drift, max_anchor_gap=max_anchor_gap,
+        )
+
+    chains, n_chains = jax.vmap(per_genome, in_axes=(1, 0))(anchors, contig_starts)
+    return chains, jnp.concatenate([counts, n_chains[None, :].astype(jnp.int32)], axis=0)
+
+
+_chain_batch = jax.jit(_chain_batch_impl, static_argnums=(4, 5, 6, 7))
 
 
 def scan_match_batch(
@@ -934,44 +1026,69 @@ def map_genes_batch(
                 gene_index.device_bloom,
                 CANDIDATE_CAP, cap_anchors, iters, DEVICE_MAX_OCC,
             )
-            # Two-step download: the tiny counters first, then only the live
-            # anchor prefix (quantised) — most of the fixed-cap buffer is
-            # padding and the tunnel moves ~40 MB/s.
-            counts_np = np.asarray(counts_d)
-            live = min(cap_anchors, max(int(counts_np[2].max()), 1))
-            live = min(-(-live // 1024) * 1024, cap_anchors)
-            anchors_np = np.zeros((len(_ANCHOR_FIELDS), n_genomes, cap_anchors), np.int32)
-            anchors_np[:, :, :live] = np.asarray(anchors_d[:, :, :live])
-            out = unpack_match_rows(anchors_np, counts_np)
+            # Chain on device: the 64K-anchor buffers stay resident and only
+            # ~CHAIN_CAP chain descriptors per genome cross the tunnel
+            # (~1.3 MB/batch instead of up to 12 MB of raw anchors).
+            c_pad = 8
+            while c_pad < max(len(ci.starts) for ci in indexes):
+                c_pad *= 2
+            starts_pad = np.full((n_genomes, c_pad), np.int32(0x7FFFFFFF), np.int32)
+            for b, ci in enumerate(indexes):
+                starts_pad[b, : len(ci.starts)] = ci.starts.astype(np.int32)
+            chains_d, counts2_d = _chain_batch(
+                anchors_d, counts_d, jnp.asarray(starts_pad),
+                gene_index.device_gene_lengths,
+                gene_index.k, CHAIN_CAP,
+                params.max_diag_drift, params.max_anchor_gap,
+            )
+            counts_np = np.asarray(counts2_d)  # (5, B): +n_chains row
+            chains_np = np.asarray(chains_d)  # (B, 10, CHAIN_CAP)
+            out = {k2: counts_np[i] for i, k2 in enumerate(_ROW_COUNT_FIELDS)}
+            out["n_chains"] = counts_np[len(_ROW_COUNT_FIELDS)]
 
-    # Per-genome host phases: anchors -> chains -> extension problems.
+    # Per-genome host phases: chains -> extension problems.
     all_chains: list[dict | None] = []
     all_problems: list[dict | None] = []
     chain_timer = phase_timer("map.chain_host")
     chain_timer.__enter__()
     for b, ci in enumerate(indexes):
-        overflow = (
-            int(out["row_overflow"][b]) > 0
-            if "row_overflow" in out
-            else int(out["n_minimizers"][b]) > cap_mins
-        ) or (
-            int(out["n_candidates"][b]) > CANDIDATE_CAP
-            or int(out["n_anchors"][b]) > cap_anchors
-        )
-        if overflow:
-            anchors = find_anchors(gene_index, ci.minimizers, params)  # overflow fallback
+        if "n_chains" in out:
+            overflow = (
+                int(out["row_overflow"][b]) > 0
+                or int(out["n_candidates"][b]) > CANDIDATE_CAP
+                or int(out["n_anchors"][b]) > cap_anchors
+                or int(out["n_chains"][b]) > CHAIN_CAP
+            )
+            if overflow:
+                anchors = find_anchors(gene_index, ci.minimizers, params)
+                chains = chain_anchors(*anchors, gene_index.lengths, gene_index.k, params)
+            else:
+                arr = chains_np[b].astype(np.int64)
+                n_ch = int(out["n_chains"][b])
+                keep = (arr[_CHAIN_FIELDS.index("count")] >= params.min_anchors)
+                keep &= np.arange(CHAIN_CAP) < n_ch
+                chains = {f: arr[i][keep] for i, f in enumerate(_CHAIN_FIELDS)}
         else:
-            valid = out["valid"][b]
-            flat_pos = out["c_flat_pos"][b][valid].astype(np.int64)
-            c_idx = np.searchsorted(ci.starts, flat_pos, side="right").astype(np.int64) - 1
-            c_pos = flat_pos - ci.starts[c_idx]
-            g_idx = out["g_idx"][b][valid].astype(np.int64)
-            g_pos = out["g_pos"][b][valid].astype(np.int64)
-            rel = np.where(
-                out["g_strand"][b][valid] == out["c_strand"][b][valid], 1, -1
-            ).astype(np.int64)
-            anchors = (g_idx, g_pos, c_idx, c_pos, rel)
-        chains = chain_anchors(*anchors, gene_index.lengths, gene_index.k, params)
+            # Sharded-mesh path: anchors were downloaded; chain on host.
+            overflow = (
+                int(out["n_minimizers"][b]) > cap_mins
+                or int(out["n_candidates"][b]) > CANDIDATE_CAP
+                or int(out["n_anchors"][b]) > cap_anchors
+            )
+            if overflow:
+                anchors = find_anchors(gene_index, ci.minimizers, params)
+            else:
+                valid = out["valid"][b]
+                flat_pos = out["c_flat_pos"][b][valid].astype(np.int64)
+                c_idx = np.searchsorted(ci.starts, flat_pos, side="right").astype(np.int64) - 1
+                c_pos = flat_pos - ci.starts[c_idx]
+                g_idx = out["g_idx"][b][valid].astype(np.int64)
+                g_pos = out["g_pos"][b][valid].astype(np.int64)
+                rel = np.where(
+                    out["g_strand"][b][valid] == out["c_strand"][b][valid], 1, -1
+                ).astype(np.int64)
+                anchors = (g_idx, g_pos, c_idx, c_pos, rel)
+            chains = chain_anchors(*anchors, gene_index.lengths, gene_index.k, params)
         if not chains or len(chains["gene"]) == 0:
             all_chains.append(None)
             all_problems.append(None)
