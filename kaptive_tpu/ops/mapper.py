@@ -135,6 +135,15 @@ class GeneIndex:
         return self._cache["lookup"]
 
     @property
+    def device_codes(self):
+        r"""Device copy of the flat (sentinel-separated) gene code stream."""
+        if "dev_codes" not in self._cache:
+            import jax.numpy as jnp
+
+            self._cache["dev_codes"] = jnp.asarray(self.codes)
+        return self._cache["dev_codes"]
+
+    @property
     def device_gene_lengths(self):
         r"""Device copy of per-gene lengths (for the device chainer)."""
         if "glen" not in self._cache:
@@ -383,8 +392,12 @@ def _rowcompact_batch(packed, bits, *, length: int, k: int, w: int, impl: str):
 
     padded = jax.vmap(lambda p, e: unpack_to_padded(p, e, length))(packed, bits)
     if impl == "pallas":
-        return rowcompact_scan_tpu(padded, k, w)
-    return rowcompact_scan_xla(padded, k, w)
+        h, a, c = rowcompact_scan_tpu(padded, k, w)
+    else:
+        h, a, c = rowcompact_scan_xla(padded, k, w)
+    # The flattened padded streams stay device-resident for the extension-DP
+    # stage (device-side problem materialisation — no target-window H2D).
+    return h, a, c, padded.reshape(-1)
 
 
 def _match_rows_core(
@@ -732,6 +745,137 @@ def chain_anchors(
     }
 
 
+def build_extension_specs(
+    chains: dict,
+    gene_index: GeneIndex,
+    contig_index: ContigIndex,
+    params: MapperParams,
+    flat_base: int,
+) -> dict | None:
+    r"""Scalar-only extension specs for the device-side problem build.
+
+    Same projection math as :func:`build_extension_problems`, but no code
+    gathering happens on host — the per-pair query/target matrices are
+    materialised on device by :func:`_ext_gather_bucket` from the resident
+    gene-code table and the scan's padded genome streams.  ``flat_base`` is
+    the genome's row offset into the flattened (B * L_pad) code stream.
+    """
+    n = len(chains["gene"])
+    if n == 0:
+        return None
+    k = gene_index.k
+    glen = gene_index.lengths[chains["gene"]]
+    clen = contig_index.lengths[chains["ctg"]]
+    t_lo = np.maximum(chains["t_min"] - chains["q_min"] - params.window_pad, 0)
+    t_hi = np.minimum(
+        chains["t_max"] + k + (glen - chains["q_max"] - k) + params.window_pad, clen
+    )
+    t_len = (t_hi - t_lo).astype(np.int64)
+    d_mid = (chains["d_min"] + chains["d_max"]) // 2
+    offsets = -(d_mid - t_lo)
+    k_locals = (chains["d_max"] - chains["d_min"]) // 2 + params.band_slack
+    from kaptive_tpu.ops.scan_pallas import PAD_POS
+
+    t_flat = flat_base + PAD_POS + contig_index.starts[chains["ctg"]] + t_lo
+    return dict(
+        gene=chains["gene"], strand=chains["strand"],
+        q_start=gene_index.starts[chains["gene"]].astype(np.int64),
+        glen=glen.astype(np.int64), t_flat=t_flat.astype(np.int64),
+        t_len=t_len, offsets=offsets.astype(np.int64),
+        k_locals=k_locals.astype(np.int64), t_lo=t_lo,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows_max", "t_cols", "t_pad")
+)
+def _ext_gather_bucket(
+    gene_codes, flat_codes, q_start, glen, strand, t_flat, t_len,
+    *, rows_max: int, t_cols: int, t_pad: int,
+):
+    r"""Materialise one DP bucket's (query, target) matrices on device.
+
+    Replaces the host matrix build + its per-bucket H2D upload (the tunnel
+    moves ~50 MB/s; these gathers cost ~9 ns/element on device).
+    """
+    j = jnp.arange(rows_max, dtype=jnp.int32)[None, :]
+    fwd = (strand > 0)[:, None]
+    qi = jnp.where(fwd, q_start[:, None] + j, q_start[:, None] + glen[:, None] - 1 - j)
+    q = gene_codes[jnp.clip(qi, 0, gene_codes.shape[0] - 1)].astype(jnp.int32)
+    q = jnp.where(fwd | (q >= 4), q, 3 - q)
+    q = jnp.where(j < glen[:, None], q, 0).astype(jnp.uint8)
+    jt = jnp.arange(t_cols, dtype=jnp.int32)[None, :]
+    ti = jnp.clip(t_flat[:, None] + (jt - t_pad), 0, flat_codes.shape[0] - 1)
+    t = flat_codes[ti].astype(jnp.uint8)
+    t = jnp.where((jt >= t_pad) & (jt < t_pad + t_len[:, None]), t, 0)
+    return q, t
+
+
+def run_extension_dp_device(
+    specs: dict, gene_index: GeneIndex, flat_codes, params: MapperParams
+):
+    r"""Bucketed banded-SWG sweep with device-side problem materialisation.
+
+    ``specs`` is the merged output of :func:`build_extension_specs`;
+    ``flat_codes`` the flattened (B * L_pad,) padded code stream from the
+    scan stage (device-resident).  Bucket-shape policy matches
+    :func:`kaptive_tpu.core.pairwise.batched_swg_align`.
+    """
+    from kaptive_tpu.core.pairwise import _RESULT_FIELDS, _bucket_size, _stack_result
+    from kaptive_tpu.core.pairwise import PairwiseAlignments
+    from kaptive_tpu.ops.swg import banded_swg
+
+    n = len(specs["gene"])
+    w_needed = 2 * specs["k_locals"] + 3
+    w_buckets = np.array([_bucket_size(int(w), 128, factor=4) for w in w_needed])
+    joint = np.maximum(np.maximum(specs["glen"], specs["t_len"]), 1)
+    size_buckets = np.array([_bucket_size(int(s), 256, factor=4) for s in joint])
+
+    gene_codes_d = gene_index.device_codes
+    out = {f: np.zeros(n, dtype=np.int32) for f in _RESULT_FIELDS}
+    keys = size_buckets.astype(np.int64) * 10**5 + w_buckets
+    launched = []
+    for key in np.unique(keys):
+        sel = np.nonzero(keys == key)[0]
+        rows_max = t_max = int(size_buckets[sel[0]])
+        w_pad = int(w_buckets[sel[0]])
+        t_pad = w_pad + 2
+        b = len(sel)
+        b_pad = 16
+        while b_pad < b:
+            b_pad *= 4
+
+        def pad(x, fill=0):
+            o = np.full(b_pad, fill, dtype=np.int32)
+            o[:b] = x[sel]
+            return o
+
+        q_start = pad(specs["q_start"])
+        glen = pad(specs["glen"], 1)
+        strand = pad(specs["strand"], 1)
+        t_flat = pad(specs["t_flat"])
+        t_len = pad(specs["t_len"])
+        q_mat, t_mat = _ext_gather_bucket(
+            gene_codes_d, flat_codes,
+            jnp.asarray(q_start), jnp.asarray(glen), jnp.asarray(strand),
+            jnp.asarray(t_flat), jnp.asarray(t_len),
+            rows_max=rows_max, t_cols=t_max + 2 * t_pad, t_pad=t_pad,
+        )
+        res = banded_swg(
+            q_mat, jnp.asarray(glen), t_mat, jnp.asarray(t_len),
+            jnp.asarray(pad(specs["offsets"])), jnp.asarray(pad(specs["k_locals"], 1)),
+            _NT_MATRIX, gap_open=NT_GAP_OPEN, gap_extend=NT_GAP_EXTEND,
+            rows_max=rows_max, w_pad=w_pad, t_pad=t_pad,
+        )
+        launched.append((sel, len(sel), _stack_result(tuple(res))))
+
+    for sel, b, stacked in launched:
+        arr = np.asarray(stacked)
+        for i, field in enumerate(_RESULT_FIELDS):
+            out[field][sel] = arr[i, :b]
+    return PairwiseAlignments(*(out[f] for f in _RESULT_FIELDS))
+
+
 def build_extension_problems(
     chains: dict,
     gene_index: GeneIndex,
@@ -1018,7 +1162,7 @@ def map_genes_batch(
             "KAPTIVE_SCAN_IMPL", "pallas" if supports_pallas_scan(L) else "xla"
         )
         with phase_timer("map.scan_match"):
-            rows_h, rows_a, rows_c = _rowcompact_batch(
+            rows_h, rows_a, rows_c, flat_codes = _rowcompact_batch(
                 packed_d, bits_d, length=L, k=gene_index.k, w=gene_index.w, impl=impl
             )
             anchors_d, counts_d = _match_rows_batch(
@@ -1046,7 +1190,11 @@ def map_genes_batch(
             out = {k2: counts_np[i] for i, k2 in enumerate(_ROW_COUNT_FIELDS)}
             out["n_chains"] = counts_np[len(_ROW_COUNT_FIELDS)]
 
-    # Per-genome host phases: chains -> extension problems.
+    # Per-genome host phases: chains -> extension problem specs.
+    use_device_dp = "n_chains" in out and not params.emit_cigars
+    from kaptive_tpu.ops.scan_pallas import PAD_POS
+
+    lp = L + 2 * PAD_POS  # per-genome length within the flattened padded stream
     all_chains: list[dict | None] = []
     all_problems: list[dict | None] = []
     chain_timer = phase_timer("map.chain_host")
@@ -1094,33 +1242,49 @@ def map_genes_batch(
             all_problems.append(None)
             continue
         all_chains.append(chains)
-        all_problems.append(build_extension_problems(chains, gene_index, ci, params))
+        if use_device_dp:
+            all_problems.append(
+                build_extension_specs(chains, gene_index, ci, params, flat_base=b * lp)
+            )
+        else:
+            all_problems.append(build_extension_problems(chains, gene_index, ci, params))
     chain_timer.__exit__(None, None, None)
 
     # One DP sweep over every chain of every genome.
     live = [p for p in all_problems if p is not None]
     results: list[Alignments] = []
     if live:
-        merged = dict(
-            q_codes=np.concatenate([p["q_codes"] for p in live]),
-            q_lengths=np.concatenate([p["q_lengths"] for p in live]).astype(np.int32),
-            t_codes=np.concatenate([p["t_codes"] for p in live]),
-            t_lengths=np.concatenate([p["t_lengths"] for p in live]).astype(np.int32),
-            offsets=np.concatenate([p["offsets"] for p in live]).astype(np.int32),
-            k_locals=np.concatenate([p["k_locals"] for p in live]).astype(np.int32),
-        )
-        from kaptive_tpu.core.collections import cumulative_offsets
+        if use_device_dp:
+            merged = {
+                key2: np.concatenate([p[key2] for p in live])
+                for key2 in live[0]
+                if key2 not in ("t_lo",)
+            }
+            with phase_timer("map.extension_dp"):
+                cigars_all = None
+                res = run_extension_dp_device(merged, gene_index, flat_codes, params)
+            counts = [len(p["glen"]) if p is not None else 0 for p in all_problems]
+        else:
+            merged = dict(
+                q_codes=np.concatenate([p["q_codes"] for p in live]),
+                q_lengths=np.concatenate([p["q_lengths"] for p in live]).astype(np.int32),
+                t_codes=np.concatenate([p["t_codes"] for p in live]),
+                t_lengths=np.concatenate([p["t_lengths"] for p in live]).astype(np.int32),
+                offsets=np.concatenate([p["offsets"] for p in live]).astype(np.int32),
+                k_locals=np.concatenate([p["k_locals"] for p in live]).astype(np.int32),
+            )
+            from kaptive_tpu.core.collections import cumulative_offsets
 
-        merged["q_offsets"] = cumulative_offsets(merged["q_lengths"])
-        merged["t_offsets"] = cumulative_offsets(merged["t_lengths"])
-        with phase_timer("map.extension_dp"):
-            cigars_all = None
-            if params.emit_cigars:
-                res, cigars_all = _run_extension_dp(merged, emit_cigars=True)
-            else:
-                res = _run_extension_dp(merged, mesh=mesh)
+            merged["q_offsets"] = cumulative_offsets(merged["q_lengths"])
+            merged["t_offsets"] = cumulative_offsets(merged["t_lengths"])
+            with phase_timer("map.extension_dp"):
+                cigars_all = None
+                if params.emit_cigars:
+                    res, cigars_all = _run_extension_dp(merged, emit_cigars=True)
+                else:
+                    res = _run_extension_dp(merged, mesh=mesh)
+            counts = [len(p["q_lengths"]) if p is not None else 0 for p in all_problems]
         # Split DP results back per genome.
-        counts = [len(p["q_lengths"]) if p is not None else 0 for p in all_problems]
         bounds = np.cumsum([0] + counts)
         from kaptive_tpu.core.pairwise import PairwiseAlignments
 
