@@ -254,6 +254,29 @@ def _stack_result(parts):
     return _stack_result_jit()(parts)
 
 
+@cache
+def _ragged_gather_jit():
+    import jax
+    import jax.numpy as jnp
+
+    def gather(q_data, t_data, q_off, q_len, t_off, t_len, *, rows_max, t_cols, t_pad):
+        """Build one bucket's padded (query, target) matrices on device from
+        the uploaded ragged byte streams (zero-filled outside each length)."""
+        j = jnp.arange(rows_max, dtype=jnp.int32)[None, :]
+        q = q_data[jnp.clip(q_off[:, None] + j, 0, q_data.shape[0] - 1)]
+        q = jnp.where(j < q_len[:, None], q, 0).astype(jnp.uint8)
+        jt = jnp.arange(t_cols, dtype=jnp.int32)[None, :]
+        t = t_data[jnp.clip(t_off[:, None] + (jt - t_pad), 0, t_data.shape[0] - 1)]
+        t = jnp.where((jt >= t_pad) & (jt < t_pad + t_len[:, None]), t, 0).astype(jnp.uint8)
+        return q, t
+
+    return jax.jit(gather, static_argnames=("rows_max", "t_cols", "t_pad"))
+
+
+def _ragged_gather_bucket(*args, **kw):
+    return _ragged_gather_jit()(*args, **kw)
+
+
 def batched_swg_align(
     q_data: np.ndarray, q_offsets: np.ndarray, q_lengths: np.ndarray,
     t_data: np.ndarray, t_offsets: np.ndarray, t_lengths: np.ndarray,
@@ -286,6 +309,13 @@ def batched_swg_align(
 
     out = {k: np.zeros(n, dtype=np.int32) for k in _RESULT_FIELDS}
     keys = size_buckets.astype(np.int64) * 10**5 + w_buckets
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if n_dev == 1:
+        # Upload the ragged byte streams once; each bucket's padded matrices
+        # are gathered on device (the host matrix build used to upload
+        # matrix-sized buffers per bucket through a ~50 MB/s tunnel).
+        q_data_d = jnp.asarray(q_data)
+        t_data_d = jnp.asarray(t_data)
     launched = []
     for key in np.unique(keys):
         sel = np.nonzero(keys == key)[0]
@@ -296,30 +326,31 @@ def batched_swg_align(
         # Quantise the batch dimension in x4 steps: compiled program count
         # must not grow with per-genome hit counts (padded pairs are cheap).
         b = len(sel)
-        n_dev = int(mesh.devices.size) if mesh is not None else 1
         b_pad = max(16, n_dev)
         while b_pad < b:
             b_pad *= 4
-        q_mat = np.zeros((b_pad, rows_max), dtype=np.uint8)
-        q_mat[:b] = pad_ragged_to_matrix(q_data, q_offsets[sel], q_lengths[sel], rows_max)
-        t_mat = np.zeros((b_pad, t_max + 2 * t_pad), dtype=np.uint8)
-        t_mat[:b, t_pad : t_pad + t_max] = pad_ragged_to_matrix(
-            t_data, t_offsets[sel], t_lengths[sel], t_max
-        )
-        ql = np.zeros(b_pad, dtype=np.int32)
-        ql[:b] = q_lengths[sel]
-        tl = np.zeros(b_pad, dtype=np.int32)
-        tl[:b] = t_lengths[sel]
-        do = np.zeros(b_pad, dtype=np.int32)
-        do[:b] = diag_offsets[sel]
-        kl = np.full(b_pad, 1, dtype=np.int32)
-        kl[:b] = k_locals[sel]
+
+        def pad(x, fill=0):
+            o = np.full(b_pad, fill, dtype=np.int32)
+            o[:b] = x[sel]
+            return o
+
+        ql = pad(q_lengths)
+        tl = pad(t_lengths)
+        do = pad(diag_offsets)
+        kl = pad(k_locals, 1)
 
         statics = dict(
             gap_open=gap_open, gap_extend=gap_extend,
             rows_max=rows_max, w_pad=w_pad, t_pad=t_pad,
         )
         if n_dev > 1:
+            q_mat = np.zeros((b_pad, rows_max), dtype=np.uint8)
+            q_mat[:b] = pad_ragged_to_matrix(q_data, q_offsets[sel], q_lengths[sel], rows_max)
+            t_mat = np.zeros((b_pad, t_max + 2 * t_pad), dtype=np.uint8)
+            t_mat[:b, t_pad : t_pad + t_max] = pad_ragged_to_matrix(
+                t_data, t_offsets[sel], t_lengths[sel], t_max
+            )
             from kaptive_tpu.parallel.typing import sharded_banded_swg
 
             res = sharded_banded_swg(
@@ -327,9 +358,14 @@ def batched_swg_align(
                 np.asarray(matrix, dtype=np.int32), **statics,
             )
         else:
+            q_mat, t_mat = _ragged_gather_bucket(
+                q_data_d, t_data_d,
+                jnp.asarray(pad(q_offsets)), jnp.asarray(ql),
+                jnp.asarray(pad(t_offsets)), jnp.asarray(tl),
+                rows_max=rows_max, t_cols=t_max + 2 * t_pad, t_pad=t_pad,
+            )
             res = banded_swg(
-                jnp.asarray(q_mat), jnp.asarray(ql),
-                jnp.asarray(t_mat), jnp.asarray(tl),
+                q_mat, jnp.asarray(ql), t_mat, jnp.asarray(tl),
                 jnp.asarray(do), jnp.asarray(kl),
                 np.asarray(matrix, dtype=np.int32), **statics,
             )

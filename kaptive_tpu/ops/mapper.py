@@ -1110,6 +1110,8 @@ def map_genes_batch(
     n_genomes = len(genomes)
     if n_genomes == 0:
         return []
+    if len(gene_index.minimizers.hashes) == 0:  # empty DB gene table
+        return [Alignments.empty() for _ in range(n_genomes)]
 
     # Stack 2-bit packed code streams to a common bucket width.  Each genome's
     # stream is uploaded per-row (usually already resident: the ingest threads

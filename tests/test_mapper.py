@@ -180,3 +180,87 @@ def test_mapper_emits_cigars_consistent_with_stats():
     strings = alns.cigars.to_strings()
     for r in range(len(alns)):
         np.testing.assert_array_equal(parse_cigar_string(strings[r]), alns.cigars[r])
+
+
+def test_device_match_chain_parity_with_host(rng):
+    """The row-compact match + device chainer must reproduce the host path.
+
+    Host oracle: find_anchors (searchsorted over the full sorted table) +
+    chain_anchors (numpy lexsort chaining).  Device path: rowcompact scan ->
+    bloom/match -> on-device chaining.  Chain descriptor SETS must be equal.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from kaptive_tpu.core.seq import Sequences
+    from kaptive_tpu.core.genome import GenomeAssembly
+    from kaptive_tpu.ops.mapper import (
+        CANDIDATE_CAP, CHAIN_CAP, DEVICE_MAX_OCC, _CHAIN_FIELDS,
+        _chain_batch, _match_rows_batch, _rowcompact_batch,
+        GeneIndex, MapperParams, chain_anchors, find_anchors,
+    )
+
+    # genes planted into a genome with mutations and both strands
+    genes = []
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome_parts = [rng.choice(alpha, 3000).tobytes()]
+    for i in range(6):
+        g = rng.choice(alpha, 400 + 100 * i).tobytes()
+        genes.append((f"g{i}", g))
+        ins = bytearray(g if i % 2 == 0 else g[::-1].translate(bytes.maketrans(b"ACGT", b"TGCA")))
+        for _ in range(10 + i * 5):  # point mutations
+            p = rng.integers(0, len(ins))
+            ins[p] = int(rng.choice(alpha))
+        genome_parts.append(bytes(ins))
+        genome_parts.append(rng.choice(alpha, 2000).tobytes())
+    contig = b"".join(genome_parts)
+
+    gene_seqs = Sequences.from_bytes([s for _, s in genes], tuple(gid for gid, _ in genes))
+    gidx = GeneIndex.build(gene_seqs)
+    import io
+
+    ga = GenomeAssembly.from_stream(io.BytesIO(b">c1\n" + contig + b"\n"), "parity")
+    ci = ga.get_minimizer_index()
+    params = MapperParams()
+
+    # Host oracle chains
+    anchors_host = find_anchors(gidx, ci.minimizers, params)
+    chains_host = chain_anchors(*anchors_host, gidx.lengths, gidx.k, params)
+
+    # Device path chains
+    from kaptive_tpu.ops.mapper import _packed_inputs
+
+    pb, vb, L = _packed_inputs(ci)
+    th, tg, tp, ts = gidx.device_table
+    bs, rl, iters = gidx.device_lookup
+    rows_h, rows_a, rows_c, _ = _rowcompact_batch(
+        jnp.asarray(pb[None]), jnp.asarray(vb[None]),
+        length=L, k=gidx.k, w=gidx.w, impl="xla",
+    )
+    anchors_d, counts_d = _match_rows_batch(
+        rows_h, rows_a, rows_c, th, tg, tp, ts, bs, rl, gidx.device_bloom,
+        CANDIDATE_CAP, 1 << 16, iters, DEVICE_MAX_OCC,
+    )
+    import numpy as np
+
+    starts_pad = np.full((1, 8), np.int32(0x7FFFFFFF), np.int32)
+    starts_pad[0, : len(ci.starts)] = ci.starts.astype(np.int32)
+    chains_d, counts2 = _chain_batch(
+        anchors_d, counts_d, jnp.asarray(starts_pad), gidx.device_gene_lengths,
+        gidx.k, CHAIN_CAP, params.max_diag_drift, params.max_anchor_gap,
+    )
+    counts2 = np.asarray(counts2)
+    assert int(counts2[3, 0]) == 0, "unexpected row overflow"
+    n_ch = int(counts2[4, 0])
+    arr = np.asarray(chains_d)[0].astype(np.int64)
+    keep = (arr[_CHAIN_FIELDS.index("count")] >= params.min_anchors)
+    keep &= np.arange(CHAIN_CAP) < n_ch
+    dev = {f: arr[i][keep] for i, f in enumerate(_CHAIN_FIELDS)}
+
+    def chain_set(ch):
+        return {
+            tuple(int(ch[f][i]) for f in _CHAIN_FIELDS) for i in range(len(ch["gene"]))
+        }
+
+    assert len(dev["gene"]) > 0
+    assert chain_set(dev) == chain_set(chains_host)
