@@ -1164,9 +1164,21 @@ def map_genes_batch(
             "KAPTIVE_SCAN_IMPL", "pallas" if supports_pallas_scan(L) else "xla"
         )
         with phase_timer("map.scan_match"):
-            rows_h, rows_a, rows_c, flat_codes = _rowcompact_batch(
-                packed_d, bits_d, length=L, k=gene_index.k, w=gene_index.w, impl=impl
-            )
+            try:
+                rows_h, rows_a, rows_c, flat_codes = _rowcompact_batch(
+                    packed_d, bits_d, length=L, k=gene_index.k, w=gene_index.w, impl=impl
+                )
+            except Exception:
+                if impl != "pallas" or os.environ.get("KAPTIVE_SCAN_IMPL"):
+                    raise  # explicit impl choice, or the fallback itself failed
+                # Mosaic failed to compile the fused scan on this chip/toolchain:
+                # degrade to the XLA formulation (identical output contract) for
+                # the rest of the process instead of aborting the run.
+                os.environ["KAPTIVE_SCAN_IMPL"] = "xla"
+                impl = "xla"
+                rows_h, rows_a, rows_c, flat_codes = _rowcompact_batch(
+                    packed_d, bits_d, length=L, k=gene_index.k, w=gene_index.w, impl=impl
+                )
             anchors_d, counts_d = _match_rows_batch(
                 rows_h, rows_a, rows_c, th, tg, tp, ts, bs, rl,
                 gene_index.device_bloom,

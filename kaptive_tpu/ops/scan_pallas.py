@@ -63,6 +63,32 @@ def _shift_prev(x, col):
     return jnp.where(col > 0, rl, jnp.roll(rl, 1, axis=0))
 
 
+def _as_signed(x):
+    r"""uint32 -> int32 preserving unsigned order (XOR sign bias + bitcast).
+
+    Mosaic has no vector ``arith.minui``/``cmpi ult`` lowering on v5e; all
+    unsigned comparisons in the kernel go through this order-preserving signed
+    view instead (bit-identical results, and the XLA mirror shares the code).
+    """
+    return jax.lax.bitcast_convert_type(x ^ jnp.uint32(0x80000000), jnp.int32)
+
+
+def _from_signed(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32) ^ jnp.uint32(0x80000000)
+
+
+def _umin(a, b):
+    return _from_signed(jnp.minimum(_as_signed(a), _as_signed(b)))
+
+
+def _ule(a, b):
+    return _as_signed(a) <= _as_signed(b)
+
+
+def _ult(a, b):
+    return _as_signed(a) < _as_signed(b)
+
+
 def _mix32(x):
     x = x ^ (x >> jnp.uint32(16))
     x = x * jnp.uint32(0x85EBCA6B)
@@ -101,8 +127,8 @@ def _scan_tile(codes, col, k: int, w: int, row0: jax.Array | int, length: int):
             cur = _shift_next(cur, col)
             bcur = _shift_next(bcur, col)
     valid = (badsum == 0) & (gpos >= 0) & (gpos < length - k + 1)
-    canonical = jnp.minimum(fwd, rev)
-    strands = fwd <= rev
+    canonical = _umin(fwd, rev)
+    strands = _ule(fwd, rev)
     hashes = jnp.where(valid, _mix32(canonical), _u32_max())
 
     # Window minimum over w k-mer starts, tracking the winning offset
@@ -112,7 +138,7 @@ def _scan_tile(codes, col, k: int, w: int, row0: jax.Array | int, length: int):
     hcur = hashes
     for j in range(1, w):
         hcur = _shift_next(hcur, col)
-        take = hcur < best
+        take = _ult(hcur, best)
         best = jnp.where(take, hcur, best)
         best_off = jnp.where(take, j, best_off)
     window_valid = (best != _u32_max()) & (gpos >= 0) & (gpos < length - k - w + 2)
@@ -154,21 +180,23 @@ def compact_lanes(selected, payloads, lanes: int, out_slots: int):
     counts = jnp.sum(sel_i, axis=-1, keepdims=True)
 
     dist = jnp.where(selected, col - rank, 0)
-    live = selected
+    # The mask is carried as int32 0/1: Mosaic has no vreg roll/bitcast for
+    # i1 vectors, so rolling a bool mask fails to lower on TPU.
+    live = sel_i
     vals = list(payloads)
     for b in range(lanes.bit_length() - 1):
         step = 1 << b
         bit = jnp.int32(step)
-        live_r = jnp.roll(live, -step, axis=-1) & (col < lanes - step)
+        live_r = jnp.roll(live, -step, axis=-1) * (col < lanes - step)
         dist_r = jnp.roll(dist, -step, axis=-1)
-        moved_in = live_r & ((dist_r & bit) != 0)
-        moves_out = live & ((dist & bit) != 0)
+        moved_in = (live_r != 0) & ((dist_r & bit) != 0)
+        moves_out = (live != 0) & ((dist & bit) != 0)
         vals = [jnp.where(moved_in, jnp.roll(v, -step, axis=-1), v) for v in vals]
         dist = jnp.where(moved_in, dist_r - step, dist)
-        live = moved_in | (live & ~moves_out)
+        live = jnp.where(moved_in, 1, live * (1 - moves_out.astype(jnp.int32)))
 
     return (
-        live[..., :out_slots],
+        live[..., :out_slots] != 0,
         [v[..., :out_slots] for v in vals],
         counts,
     )
@@ -202,7 +230,10 @@ def _rowcompact_kernel(codes_hbm, h_out, a_out, c_out, codes_vmem, sem, *, k: in
     sel_m = selected[HALO_ROWS : HALO_ROWS + TILE_ROWS]
     h_m = hashes[HALO_ROWS : HALO_ROWS + TILE_ROWS]
     st_m = strands[HALO_ROWS : HALO_ROWS + TILE_ROWS]
-    col_m = col[HALO_ROWS : HALO_ROWS + TILE_ROWS]
+    # NB: do not slice ``col`` itself — a lane-iota is sublane-replicated in
+    # Mosaic's vector layout and slicing its sublane axis crashes the
+    # ApplyVectorLayout pass; regenerate the iota at the interior shape.
+    col_m = jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, ROW), 1)
     aux = col_m | (st_m.astype(jnp.int32) << 7)
     hc, ac, counts = _compact_rows(sel_m, h_m, aux)
     h_out[0] = hc
