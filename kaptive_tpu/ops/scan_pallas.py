@@ -111,21 +111,30 @@ def _scan_tile(codes, col, k: int, w: int, row0: jax.Array | int, length: int):
     ``minimizer_scan`` on the flattened tile (edge rows are garbage — callers
     only read the interior rows).
     """
+    # All three sweeps below run as ``fori_loop``s rather than unrolled Python
+    # loops: unrolling k=15 + 2*w=20 full-tile shift steps emitted ~145k MLIR
+    # vector ops for a (1280, 128) tile, which Mosaic takes minutes to
+    # compile.  The loop forms keep the IR a few hundred ops with identical
+    # runtime work (each iteration is the same whole-tile vector step).
     gpos = jax.lax.broadcasted_iota(jnp.int32, codes.shape, 0) * ROW + col + row0 * ROW
     bad = (codes >= 4).astype(jnp.int32)
-    fwd = jnp.zeros(codes.shape, jnp.uint32)
-    rev = jnp.zeros(codes.shape, jnp.uint32)
-    badsum = jnp.zeros(codes.shape, jnp.int32)
-    cur = codes
-    bcur = bad
-    for j in range(k):
+
+    def kmer_body(j, c):
+        cur, bcur, fwd, rev, badsum = c
         cu = cur.astype(jnp.uint32)
-        fwd = fwd | (cu << jnp.uint32(2 * (k - 1 - j)))
-        rev = rev | ((jnp.uint32(3) - cu) << jnp.uint32(2 * j))
+        ju = j.astype(jnp.uint32)
+        fwd = fwd | (cu << (jnp.uint32(2 * (k - 1)) - jnp.uint32(2) * ju))
+        rev = rev | ((jnp.uint32(3) - cu) << (jnp.uint32(2) * ju))
         badsum = badsum + bcur
-        if j < k - 1:
-            cur = _shift_next(cur, col)
-            bcur = _shift_next(bcur, col)
+        # The trailing shift on the last iteration is harmless: cur/bcur are
+        # dead after the loop and rolls only wrap within the tile.
+        return (_shift_next(cur, col), _shift_next(bcur, col), fwd, rev, badsum)
+
+    zero_u = jnp.zeros(codes.shape, jnp.uint32)
+    zero_i = jnp.zeros(codes.shape, jnp.int32)
+    _, _, fwd, rev, badsum = jax.lax.fori_loop(
+        0, k, kmer_body, (codes, bad, zero_u, zero_u, zero_i)
+    )
     valid = (badsum == 0) & (gpos >= 0) & (gpos < length - k + 1)
     canonical = _umin(fwd, rev)
     strands = _ule(fwd, rev)
@@ -133,25 +142,28 @@ def _scan_tile(codes, col, k: int, w: int, row0: jax.Array | int, length: int):
 
     # Window minimum over w k-mer starts, tracking the winning offset
     # (leftmost-on-tie: strict < favours the earlier position).
-    best = hashes
-    best_off = jnp.zeros(codes.shape, jnp.int32)
-    hcur = hashes
-    for j in range(1, w):
+    def win_body(j, c):
+        hcur, best, best_off = c
         hcur = _shift_next(hcur, col)
         take = _ult(hcur, best)
         best = jnp.where(take, hcur, best)
         best_off = jnp.where(take, j, best_off)
+        return (hcur, best, best_off)
+
+    _, best, best_off = jax.lax.fori_loop(1, w, win_body, (hashes, hashes, zero_i))
     window_valid = (best != _u32_max()) & (gpos >= 0) & (gpos < length - k - w + 2)
 
     # Position p is selected iff a window starting at p-d (d in [0,w)) picked
     # it, i.e. that window's winning offset equals d.
     delta = jnp.where(window_valid, best_off, -1)
-    selected = delta == 0
-    dcur = delta
-    for d in range(1, w):
+
+    def sel_body(d, c):
+        dcur, sel = c
         dcur = _shift_prev(dcur, col)
-        selected = selected | (dcur == d)
-    selected = selected & valid
+        return (dcur, jnp.where(dcur == d, 1, sel))
+
+    _, sel_i = jax.lax.fori_loop(1, w, sel_body, (delta, (delta == 0).astype(jnp.int32)))
+    selected = (sel_i != 0) & valid
     return selected, hashes, strands
 
 
