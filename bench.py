@@ -80,6 +80,7 @@ def main() -> None:
     from kaptive_tpu.core.genome import GenomeAssembly
     from kaptive_tpu.serotyping import Serotyper
 
+    from kaptive_tpu.utils.metrics import metrics_report, reset_metrics
     from kaptive_tpu.utils.profiling import phase_report, reset_phases
 
     db, assemblies = build_fixtures()
@@ -90,14 +91,20 @@ def main() -> None:
 
     batch_size = int(os.environ.get("KAPTIVE_TPU_BENCH_BATCH", "8"))
 
-    # Warm-up: compiles the device kernels (minimizer scan, SWG buckets).
+    # Warm-up: compiles the device kernels (minimizer scan, SWG lattice
+    # shapes, decision jits) — Serotyper.warmup() covers every shape the
+    # frozen lattices can dispatch, plus one real-composition batch so the
+    # scan/match/chain programs for this genome size class compile too.
     print("# warm-up (compiles device programs)...", file=sys.stderr, flush=True)
     t_w = time.perf_counter()
+    serotyper.warmup(genome_length=int(GENOME_MB * 1e6), batch_size=batch_size)
     warm = [make_ga(f"warm{i}", assemblies[i][2]) for i in range(min(batch_size, len(assemblies)))]
     res = serotyper.batch(warm)
     assert res[0] is not None
     print(f"# warm-up done in {time.perf_counter() - t_w:.1f}s", file=sys.stderr, flush=True)
+    metrics_report()  # which impls/shapes the warm-up compiled
     reset_phases()  # warm-up compile time must not pollute the phase table
+    reset_metrics(keep_shapes=True)  # a timed-run new_shape => steady-state compile
 
     # Timed run uses the production streaming path: host ingest threads prefetch
     # the next batch while the device types the current one.
@@ -115,6 +122,7 @@ def main() -> None:
             done += 1
     elapsed = time.perf_counter() - t0
     phase_report()  # where the time goes (always printed to stderr)
+    metrics_report()  # fallback/impl/shape counters: proves which path ran
 
     value = len(assemblies) / elapsed
     print(

@@ -208,6 +208,7 @@ class PairwiseAligner:
     gap_extend: int = 1
     k: int = 20
     mesh: Any = None  # optional jax.sharding.Mesh: shards the pair axis
+    lattice: Any = None  # optional SwgLattice: frozen compiled-shape set
 
     def __call__(self, queries: Sequences, targets: Sequences, seeds: Any | None = None) -> PairwiseAlignments:
         if len(queries.offsets) != len(targets.offsets):
@@ -231,7 +232,7 @@ class PairwiseAligner:
             offsets_arr, k_locals,
             matrix=np.asarray(blosum62_matrix(), dtype=np.int32),
             gap_open=self.gap_open, gap_extend=self.gap_extend,
-            mesh=self.mesh,
+            mesh=self.mesh, lattice=self.lattice,
         )
 
     def align_seeds(self, queries: Sequences, targets: Sequences, seeds: Any) -> PairwiseAlignments:
@@ -282,16 +283,17 @@ def batched_swg_align(
     t_data: np.ndarray, t_offsets: np.ndarray, t_lengths: np.ndarray,
     diag_offsets: np.ndarray, k_locals: np.ndarray,
     matrix: np.ndarray, gap_open: int, gap_extend: int,
-    mesh=None,
+    mesh=None, lattice=None,
 ) -> PairwiseAlignments:
     r"""Bucket ragged pairs into padded device batches and run :func:`banded_swg`.
 
-    Bucket-shape policy: the compiled-program lattice is kept SMALL — the
-    query and target dimensions share one joint power-of-two size bucket
-    (pairs in this pipeline have similar q/t lengths, so the waste is modest),
-    the batch dimension quantises in factor-of-4 steps, and the band width in
-    power-of-two steps.  Every distinct shape costs a compile *and* a
-    first-execution load on tunneled TPUs, which dwarfs padding waste.
+    Bucket-shape policy (:func:`kaptive_tpu.ops.swg.plan_swg_buckets`): with a
+    :class:`~kaptive_tpu.ops.swg.SwgLattice` the compiled-shape set is FROZEN
+    (one rows value, a couple of band widths, one chunked batch size — all
+    precompiled during warm-up, so steady state never compiles); without one,
+    shapes quantise dynamically in power-of-4 steps.  Every distinct shape
+    costs a compile *and* a first-execution load on tunneled TPUs, which
+    dwarfs padding waste.
 
     Dispatch policy: all buckets are launched before any device->host
     collection so their executions and transfers overlap (JAX dispatch is
@@ -299,36 +301,38 @@ def batched_swg_align(
     """
     import jax.numpy as jnp
 
-    from kaptive_tpu.ops.swg import banded_swg, pad_ragged_to_matrix
+    from kaptive_tpu.ops.swg import banded_swg, pad_ragged_to_matrix, plan_swg_buckets
 
     n = len(q_offsets)
     w_needed = 2 * k_locals.astype(np.int64) + 3
-    w_buckets = np.array([_bucket_size(int(w), 128, factor=4) for w in w_needed])
     joint = np.maximum(np.maximum(q_lengths, t_lengths), 1)
-    size_buckets = np.array([_bucket_size(int(s), 256, factor=4) for s in joint])
 
     out = {k: np.zeros(n, dtype=np.int32) for k in _RESULT_FIELDS}
-    keys = size_buckets.astype(np.int64) * 10**5 + w_buckets
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     if n_dev == 1:
         # Upload the ragged byte streams once; each bucket's padded matrices
         # are gathered on device (the host matrix build used to upload
         # matrix-sized buffers per bucket through a ~50 MB/s tunnel).
-        q_data_d = jnp.asarray(q_data)
-        t_data_d = jnp.asarray(t_data)
-    launched = []
-    for key in np.unique(keys):
-        sel = np.nonzero(keys == key)[0]
-        rows_max = t_max = int(size_buckets[sel[0]])
-        w_pad = int(w_buckets[sel[0]])
-        t_pad = w_pad + 2
+        # Pow2-pad the flat streams: the on-device gather jit is keyed on the
+        # stream shape, and an exact ragged length would recompile it every
+        # batch (each compile costs seconds on a tunneled TPU).
+        def pow2_pad(x):
+            alloc = 1 << 16
+            while alloc < len(x):
+                alloc *= 2
+            return np.pad(x, (0, alloc - len(x)))
 
-        # Quantise the batch dimension in x4 steps: compiled program count
-        # must not grow with per-genome hit counts (padded pairs are cheap).
+        q_data_d = jnp.asarray(pow2_pad(q_data))
+        t_data_d = jnp.asarray(pow2_pad(t_data))
+    launched = []
+    for sel, rows_max, w_pad, b_pad in plan_swg_buckets(
+        joint, w_needed, lattice, min_batch=max(16, n_dev)
+    ):
+        t_max = rows_max
+        t_pad = w_pad + 2
         b = len(sel)
-        b_pad = max(16, n_dev)
-        while b_pad < b:
-            b_pad *= 4
+        if b_pad < max(16, n_dev):
+            b_pad = max(16, n_dev)
 
         def pad(x, fill=0):
             o = np.full(b_pad, fill, dtype=np.int32)

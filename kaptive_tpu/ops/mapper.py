@@ -187,6 +187,7 @@ class MapperParams:
     emit_cigars: bool = False  # record BAM CIGARs during extension traceback
     # (the reference maps with do_cigar=True; typing decisions never read them,
     # so the default keeps the faster count-only traceback)
+    lattice: object = None  # optional SwgLattice freezing the extension-DP shapes
 
 
 def find_anchors(gene_index: GeneIndex, contig_mins: MinimizerSet, params: MapperParams):
@@ -382,22 +383,53 @@ _match_batch = jax.jit(
 # op left is the bloom-membership gather over the (rows, 32) minimizer slots.
 
 
-@functools.partial(jax.jit, static_argnames=("length", "k", "w", "impl"))
-def _rowcompact_batch(packed, bits, *, length: int, k: int, w: int, impl: str):
-    from kaptive_tpu.ops.scan_pallas import (
-        rowcompact_scan_tpu,
-        rowcompact_scan_xla,
-        unpack_to_padded,
-    )
+@functools.partial(jax.jit, static_argnames=("length",))
+def _unpack_batch(packed, bits, *, length: int):
+    from kaptive_tpu.ops.scan_pallas import unpack_to_padded
 
     padded = jax.vmap(lambda p, e: unpack_to_padded(p, e, length))(packed, bits)
-    if impl == "pallas":
-        h, a, c = rowcompact_scan_tpu(padded, k, w)
-    else:
-        h, a, c = rowcompact_scan_xla(padded, k, w)
     # The flattened padded streams stay device-resident for the extension-DP
     # stage (device-side problem materialisation — no target-window H2D).
-    return h, a, c, padded.reshape(-1)
+    return padded, padded.reshape(-1)
+
+
+# Set after a Mosaic compile failure so the degrade to the XLA scan is
+# process-local and thread-visible (mutating os.environ leaked the choice to
+# subprocesses and raced with other threads).
+_SCAN_IMPL_DEGRADED = False
+
+
+def _rowcompact_batch(packed, bits, *, length: int, k: int, w: int, impl: str):
+    r"""Unpack + row-compact minimizer scan; Pallas on TPU with a loud,
+    metrics-counted degrade to the XLA formulation on Mosaic failure."""
+    global _SCAN_IMPL_DEGRADED
+    from kaptive_tpu.ops.scan_pallas import rowcompact_scan_tpu, rowcompact_scan_xla
+    from kaptive_tpu.utils.metrics import count
+
+    padded, flat_codes = _unpack_batch(packed, bits, length=length)
+    if impl == "pallas":
+        try:
+            h, a, c = rowcompact_scan_tpu(padded, k, w)
+        except Exception:
+            if os.environ.get("KAPTIVE_SCAN_IMPL"):
+                raise  # an explicitly forced impl must fail loudly
+            # Mosaic failed to compile the fused scan on this chip/toolchain:
+            # degrade to the XLA formulation (identical output contract) for
+            # the rest of the process instead of aborting the run.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Pallas minimizer-scan kernel failed to compile; degrading to "
+                "the XLA scan (KAPTIVE_SCAN_IMPL=xla) for the rest of the run",
+                exc_info=True,
+            )
+            count("map.scan_fallback")
+            _SCAN_IMPL_DEGRADED = True
+            impl = "xla"
+    if impl != "pallas":
+        h, a, c = rowcompact_scan_xla(padded, k, w)
+    count(f"map.scan_impl.{impl}")
+    return h, a, c, flat_codes
 
 
 def _match_rows_core(
@@ -820,30 +852,31 @@ def run_extension_dp_device(
     ``flat_codes`` the flattened (B * L_pad,) padded code stream from the
     scan stage (device-resident).  Bucket-shape policy matches
     :func:`kaptive_tpu.core.pairwise.batched_swg_align`.
+
+    With ``params.emit_cigars`` the traceback additionally records BAM CIGAR
+    runs (returns ``(PairwiseAlignments, Cigars)``; pairs whose op count
+    overflowed the device buffer get an empty CIGAR, stats stay exact) — the
+    problem build stays fully device-resident either way, so CIGAR mode no
+    longer pays the host code-gather + matrix upload it did in round 2.
     """
-    from kaptive_tpu.core.pairwise import _RESULT_FIELDS, _bucket_size, _stack_result
+    from kaptive_tpu.core.pairwise import _RESULT_FIELDS, _stack_result
     from kaptive_tpu.core.pairwise import PairwiseAlignments
-    from kaptive_tpu.ops.swg import banded_swg
+    from kaptive_tpu.ops.swg import MAX_CIGAR_OPS, banded_swg, banded_swg_lax_cigars, plan_swg_buckets
 
     n = len(specs["gene"])
     w_needed = 2 * specs["k_locals"] + 3
-    w_buckets = np.array([_bucket_size(int(w), 128, factor=4) for w in w_needed])
     joint = np.maximum(np.maximum(specs["glen"], specs["t_len"]), 1)
-    size_buckets = np.array([_bucket_size(int(s), 256, factor=4) for s in joint])
 
     gene_codes_d = gene_index.device_codes
     out = {f: np.zeros(n, dtype=np.int32) for f in _RESULT_FIELDS}
-    keys = size_buckets.astype(np.int64) * 10**5 + w_buckets
+    emit = bool(params.emit_cigars)
+    ops_out = np.zeros((n, MAX_CIGAR_OPS), dtype=np.uint32) if emit else None
+    n_ops_out = np.zeros(n, dtype=np.int32) if emit else None
     launched = []
-    for key in np.unique(keys):
-        sel = np.nonzero(keys == key)[0]
-        rows_max = t_max = int(size_buckets[sel[0]])
-        w_pad = int(w_buckets[sel[0]])
+    for sel, rows_max, w_pad, b_pad in plan_swg_buckets(joint, w_needed, params.lattice):
+        t_max = rows_max
         t_pad = w_pad + 2
         b = len(sel)
-        b_pad = 16
-        while b_pad < b:
-            b_pad *= 4
 
         def pad(x, fill=0):
             o = np.full(b_pad, fill, dtype=np.int32)
@@ -861,19 +894,47 @@ def run_extension_dp_device(
             jnp.asarray(t_flat), jnp.asarray(t_len),
             rows_max=rows_max, t_cols=t_max + 2 * t_pad, t_pad=t_pad,
         )
-        res = banded_swg(
+        args = (
             q_mat, jnp.asarray(glen), t_mat, jnp.asarray(t_len),
             jnp.asarray(pad(specs["offsets"])), jnp.asarray(pad(specs["k_locals"], 1)),
-            _NT_MATRIX, gap_open=NT_GAP_OPEN, gap_extend=NT_GAP_EXTEND,
+        )
+        statics = dict(
+            gap_open=NT_GAP_OPEN, gap_extend=NT_GAP_EXTEND,
             rows_max=rows_max, w_pad=w_pad, t_pad=t_pad,
         )
-        launched.append((sel, len(sel), _stack_result(tuple(res))))
+        if emit:
+            res, ops, n_ops, overflow = banded_swg_lax_cigars(
+                *args, jnp.asarray(_NT_MATRIX), **statics
+            )
+            launched.append((sel, b, _stack_result(tuple(res)), (ops, n_ops, overflow)))
+        else:
+            res = banded_swg(*args, _NT_MATRIX, **statics)
+            launched.append((sel, b, _stack_result(tuple(res)), None))
 
-    for sel, b, stacked in launched:
+    for sel, b, stacked, cig in launched:
         arr = np.asarray(stacked)
         for i, field in enumerate(_RESULT_FIELDS):
             out[field][sel] = arr[i, :b]
-    return PairwiseAlignments(*(out[f] for f in _RESULT_FIELDS))
+        if cig is not None:
+            ops, n_ops, overflow = cig
+            ops_out[sel] = np.asarray(ops)[:b]
+            n_ops_out[sel] = np.where(
+                np.asarray(overflow)[:b], 0, np.asarray(n_ops)[:b]
+            )
+    res_out = PairwiseAlignments(*(out[f] for f in _RESULT_FIELDS))
+    if not emit:
+        return res_out
+    from kaptive_tpu.core.alignment import Cigars
+    from kaptive_tpu.core.collections import cumulative_offsets
+
+    lengths = n_ops_out.astype(np.int32)
+    offsets = cumulative_offsets(lengths)
+    flat = (
+        np.concatenate([ops_out[i, : lengths[i]] for i in range(n)])
+        if n and lengths.sum()
+        else np.empty(0, dtype=np.uint32)
+    )
+    return res_out, Cigars(flat.astype(np.uint32), offsets, lengths)
 
 
 def build_extension_problems(
@@ -925,7 +986,7 @@ def build_extension_problems(
     )
 
 
-def _run_extension_dp(problems: dict, emit_cigars: bool = False, mesh=None):
+def _run_extension_dp(problems: dict, emit_cigars: bool = False, mesh=None, lattice=None):
     r"""One batched banded-SWG dispatch over concatenated extension problems.
 
     With ``emit_cigars`` the result gains a ``cigars`` attribute: a
@@ -948,7 +1009,7 @@ def _run_extension_dp(problems: dict, emit_cigars: bool = False, mesh=None):
         problems["t_codes"], problems["t_offsets"], problems["t_lengths"],
         problems["offsets"], problems["k_locals"],
         matrix=_NT_MATRIX, gap_open=NT_GAP_OPEN, gap_extend=NT_GAP_EXTEND,
-        mesh=mesh,
+        mesh=mesh, lattice=lattice,
     )
 
 
@@ -962,7 +1023,7 @@ def extend_chains(
     problems = build_extension_problems(chains, gene_index, contig_index, params)
     if problems is None:
         return None
-    res = _run_extension_dp(problems)
+    res = _run_extension_dp(problems, lattice=params.lattice)
     return res, problems["t_lo"], problems["glen"]
 
 
@@ -1133,8 +1194,9 @@ def map_genes_batch(
 
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
     cap_anchors = ANCHOR_CAP
+    flat_codes = None  # device-resident padded code stream (single-device path)
     if mesh is not None and int(mesh.devices.size) > 1:
-        from kaptive_tpu.parallel.typing import ShardedGeneTable, sharded_scan_match
+        from kaptive_tpu.parallel.typing import ShardedGeneTable, sharded_scan_match_chain
 
         data_axis = int(mesh.shape.get("data", 1))
         model_axis = int(mesh.shape.get("model", 1))
@@ -1148,37 +1210,40 @@ def map_genes_batch(
             pb, vb, _ = _packed_inputs(ci)
             packed[b, : len(pb)] = pb
             bits[b, : len(vb)] = vb
+        c_pad = 8
+        while c_pad < max(len(ci.starts) for ci in indexes):
+            c_pad *= 2
+        starts_pad = np.full((pad_to, c_pad), np.int32(0x7FFFFFFF), np.int32)
+        for b, ci in enumerate(indexes):
+            starts_pad[b, : len(ci.starts)] = ci.starts.astype(np.int32)
         with phase_timer("map.scan_match"):
-            out = sharded_scan_match(
+            chains_np, counts = sharded_scan_match_chain(
                 mesh, packed, bits, gene_index._cache[key],
+                starts_pad, gene_index.lengths.astype(np.int32),
                 length=L, cap_mins=cap_mins, cap_anchors=cap_anchors,
                 max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
+                cap_chains=CHAIN_CAP,
+                max_diag_drift=params.max_diag_drift,
+                max_anchor_gap=params.max_anchor_gap,
             )
-            out = {key2: v[:n_genomes] for key2, v in out.items()}
+            chains_np = chains_np[:n_genomes]
+            out = {key2: v[:n_genomes] for key2, v in counts.items()}
+            # Per-shard caps are enforced independently; row_overflow does not
+            # exist on this (non-rowcompact) path.
+            out["row_overflow"] = np.zeros(n_genomes, dtype=np.int32)
     else:
         from kaptive_tpu.ops.scan_pallas import supports_pallas_scan
 
         th, tg, tp, ts = gene_index.device_table
         bs, rl, iters = gene_index.device_lookup
         impl = os.environ.get(
-            "KAPTIVE_SCAN_IMPL", "pallas" if supports_pallas_scan(L) else "xla"
+            "KAPTIVE_SCAN_IMPL",
+            "pallas" if supports_pallas_scan(L) and not _SCAN_IMPL_DEGRADED else "xla",
         )
         with phase_timer("map.scan_match"):
-            try:
-                rows_h, rows_a, rows_c, flat_codes = _rowcompact_batch(
-                    packed_d, bits_d, length=L, k=gene_index.k, w=gene_index.w, impl=impl
-                )
-            except Exception:
-                if impl != "pallas" or os.environ.get("KAPTIVE_SCAN_IMPL"):
-                    raise  # explicit impl choice, or the fallback itself failed
-                # Mosaic failed to compile the fused scan on this chip/toolchain:
-                # degrade to the XLA formulation (identical output contract) for
-                # the rest of the process instead of aborting the run.
-                os.environ["KAPTIVE_SCAN_IMPL"] = "xla"
-                impl = "xla"
-                rows_h, rows_a, rows_c, flat_codes = _rowcompact_batch(
-                    packed_d, bits_d, length=L, k=gene_index.k, w=gene_index.w, impl=impl
-                )
+            rows_h, rows_a, rows_c, flat_codes = _rowcompact_batch(
+                packed_d, bits_d, length=L, k=gene_index.k, w=gene_index.w, impl=impl
+            )
             anchors_d, counts_d = _match_rows_batch(
                 rows_h, rows_a, rows_c, th, tg, tp, ts, bs, rl,
                 gene_index.device_bloom,
@@ -1204,8 +1269,11 @@ def map_genes_batch(
             out = {k2: counts_np[i] for i, k2 in enumerate(_ROW_COUNT_FIELDS)}
             out["n_chains"] = counts_np[len(_ROW_COUNT_FIELDS)]
 
-    # Per-genome host phases: chains -> extension problem specs.
-    use_device_dp = "n_chains" in out and not params.emit_cigars
+    # Per-genome host phases: chains -> extension problem specs.  Device-side
+    # problem materialisation needs the device-resident padded code stream
+    # (single-device path only); the sharded path builds problems on host and
+    # runs the DP sweep sharded over the mesh.
+    use_device_dp = flat_codes is not None
     from kaptive_tpu.ops.scan_pallas import PAD_POS
 
     lp = L + 2 * PAD_POS  # per-genome length within the flattened padded stream
@@ -1213,44 +1281,30 @@ def map_genes_batch(
     all_problems: list[dict | None] = []
     chain_timer = phase_timer("map.chain_host")
     chain_timer.__enter__()
+    from kaptive_tpu.utils.metrics import count as _count
+
     for b, ci in enumerate(indexes):
-        if "n_chains" in out:
-            overflow = (
-                int(out["row_overflow"][b]) > 0
-                or int(out["n_candidates"][b]) > CANDIDATE_CAP
-                or int(out["n_anchors"][b]) > cap_anchors
-                or int(out["n_chains"][b]) > CHAIN_CAP
-            )
-            if overflow:
-                anchors = find_anchors(gene_index, ci.minimizers, params)
-                chains = chain_anchors(*anchors, gene_index.lengths, gene_index.k, params)
-            else:
-                arr = chains_np[b].astype(np.int64)
-                n_ch = int(out["n_chains"][b])
-                keep = (arr[_CHAIN_FIELDS.index("count")] >= params.min_anchors)
-                keep &= np.arange(CHAIN_CAP) < n_ch
-                chains = {f: arr[i][keep] for i, f in enumerate(_CHAIN_FIELDS)}
-        else:
-            # Sharded-mesh path: anchors were downloaded; chain on host.
-            overflow = (
-                int(out["n_minimizers"][b]) > cap_mins
-                or int(out["n_candidates"][b]) > CANDIDATE_CAP
-                or int(out["n_anchors"][b]) > cap_anchors
-            )
-            if overflow:
-                anchors = find_anchors(gene_index, ci.minimizers, params)
-            else:
-                valid = out["valid"][b]
-                flat_pos = out["c_flat_pos"][b][valid].astype(np.int64)
-                c_idx = np.searchsorted(ci.starts, flat_pos, side="right").astype(np.int64) - 1
-                c_pos = flat_pos - ci.starts[c_idx]
-                g_idx = out["g_idx"][b][valid].astype(np.int64)
-                g_pos = out["g_pos"][b][valid].astype(np.int64)
-                rel = np.where(
-                    out["g_strand"][b][valid] == out["c_strand"][b][valid], 1, -1
-                ).astype(np.int64)
-                anchors = (g_idx, g_pos, c_idx, c_pos, rel)
+        causes = {
+            "row_overflow": int(out["row_overflow"][b]) > 0,
+            "candidates": int(out["n_candidates"][b]) > CANDIDATE_CAP,
+            "anchors": int(out["n_anchors"][b]) > cap_anchors,
+            "chains": int(out["n_chains"][b]) > CHAIN_CAP,
+        }
+        overflow = any(causes.values())
+        if overflow:
+            for cause, hit in causes.items():
+                if hit:
+                    _count(f"map.host_fallback.{cause}")
+            _count("map.host_chained")
+            anchors = find_anchors(gene_index, ci.minimizers, params)
             chains = chain_anchors(*anchors, gene_index.lengths, gene_index.k, params)
+        else:
+            _count("map.device_chained")
+            arr = chains_np[b].astype(np.int64)
+            n_ch = int(out["n_chains"][b])
+            keep = (arr[_CHAIN_FIELDS.index("count")] >= params.min_anchors)
+            keep &= np.arange(CHAIN_CAP) < n_ch
+            chains = {f: arr[i][keep] for i, f in enumerate(_CHAIN_FIELDS)}
         if not chains or len(chains["gene"]) == 0:
             all_chains.append(None)
             all_problems.append(None)
@@ -1277,6 +1331,8 @@ def map_genes_batch(
             with phase_timer("map.extension_dp"):
                 cigars_all = None
                 res = run_extension_dp_device(merged, gene_index, flat_codes, params)
+                if params.emit_cigars:
+                    res, cigars_all = res
             counts = [len(p["glen"]) if p is not None else 0 for p in all_problems]
         else:
             merged = dict(
@@ -1296,7 +1352,7 @@ def map_genes_batch(
                 if params.emit_cigars:
                     res, cigars_all = _run_extension_dp(merged, emit_cigars=True)
                 else:
-                    res = _run_extension_dp(merged, mesh=mesh)
+                    res = _run_extension_dp(merged, mesh=mesh, lattice=params.lattice)
             counts = [len(p["q_lengths"]) if p is not None else 0 for p in all_problems]
         # Split DP results back per genome.
         bounds = np.cumsum([0] + counts)

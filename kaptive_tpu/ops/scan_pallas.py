@@ -13,17 +13,20 @@ same hash, leftmost-on-tie window minimum); parity is pinned by
 ``tests/test_scan_pallas.py`` against the host scan.
 
 Output layout ("row-compact"): the genome is viewed as rows of 128
-consecutive positions.  For each row the kernel emits up to ``SLOTS`` = 32
+consecutive positions.  For each row the kernel emits up to ``SLOTS`` = 64
 selected minimizers:
 
-- ``hashes`` (B, R, 32) uint32 — canonical k-mer hash, ``0xFFFFFFFF`` pads;
-- ``aux``    (B, R, 32) int32  — ``col | strand << 7`` (col in [0,128));
+- ``hashes`` (B, R, 64) uint32 — canonical k-mer hash, ``0xFFFFFFFF`` pads;
+- ``aux``    (B, R, 64) int32  — ``col | strand << 7`` (col in [0,128));
 - ``counts`` (B, R, 1)  int32  — true per-row minimizer count (overflow
-  detection: count > 32 means minimizers were dropped; callers fall back
+  detection: count > 64 means minimizers were dropped; callers fall back
   to the host path for that genome — see ``ops/mapper``).
 
-Expected minimizer density is ``2/(w+1)`` ≈ 23 per row for w=10, so the
-32-slot cap overflows only on adversarial hash orderings.
+Expected minimizer density is ``2/(w+1)`` ≈ 23 per row for w=10.  The cap
+must sit far out on the Poisson tail: at 32 slots roughly one row per
+megabase overflows (P(X>32 | λ≈23.3) ≈ 3e-2 per 128-base row), which made
+the whole-genome host fallback fire on essentially every real assembly; at
+64 slots (P(X>64) < 1e-12) overflow needs adversarial repeat content.
 
 Reference mapping: this is the TPU-native replacement for the minimizer
 indexing half of the wrapped Rust ``rammappy`` mapper
@@ -39,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-SLOTS = 32  # per-row output capacity
+SLOTS = 64  # per-row output capacity
 ROW = 128  # positions per row (= lane count)
 TILE_ROWS = 1024  # rows computed per grid step (128K positions)
 HALO_ROWS = 128  # halo rows DMA'd on each side (16K positions; scan needs k+w-2)

@@ -34,6 +34,7 @@ pair over the packed bit matrix.
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax
@@ -41,6 +42,110 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = jnp.int32(-1_000_000_000)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True, slots=True)
+class SwgLattice:
+    r"""A frozen set of compiled DP bucket shapes.
+
+    Round 2's dynamic power-of-factor bucketing grew a fresh ``(rows, w, b)``
+    compiled shape whenever a new pair geometry appeared — and every compile
+    costs tens of seconds on a tunneled TPU, which dominated steady-state
+    runtime (``type.protein_dp`` at 37 s/batch in BENCH_r02).  A lattice fixes
+    the shape set up front from what the database can ever produce: ONE row
+    count (covering the longest reference sequence plus slack), a small tuple
+    of band widths, and ONE batch size (larger pair sets dispatch in chunks).
+    All shapes are compiled once during warm-up; pairs that fall outside the
+    lattice (adversarial geometry) fall back to dynamic bucketing and are
+    counted under ``swg.offlattice``.
+    """
+
+    rows: int  # single rows_max (% 64 == 0 for the Pallas kernel)
+    widths: tuple[int, ...]  # ascending band widths (% 128 == 0)
+    batch: int = 128  # pairs per dispatch (% 8 == 0)
+
+    @classmethod
+    def for_max_len(cls, max_len: int, *, len_slack: int = 0, widths: tuple[int, ...] | None = None, batch: int = 128) -> "SwgLattice":
+        r"""Build a lattice covering pairs up to ``max_len + len_slack``.
+
+        The default width set is (128, W) where W covers the worst unseeded
+        band ``2*(max_len+1)+3`` (one truncated side vs a full-length other).
+        """
+        rows = _round_up(max(int(max_len) + int(len_slack), 64), 64)
+        if widths is None:
+            wide = _round_up(2 * int(max_len) + 5, 128)
+            widths = (128,) if wide <= 128 else (128, wide)
+        return cls(rows, tuple(int(w) for w in widths), int(batch))
+
+    def shapes(self) -> list[tuple[int, int, int]]:
+        return [(self.rows, w, self.batch) for w in self.widths]
+
+    def width_for(self, w_needed: int) -> int | None:
+        for w in self.widths:
+            if w >= w_needed:
+                return w
+        return None
+
+
+def plan_swg_buckets(
+    joint: np.ndarray, w_needed: np.ndarray, lattice: SwgLattice | None,
+    *, dyn_min_size: int = 256, dyn_min_w: int = 128, dyn_factor: int = 4,
+    min_batch: int = 16,
+) -> list[tuple[np.ndarray, int, int, int]]:
+    r"""Assign pairs to compiled bucket shapes.
+
+    Returns a list of ``(pair_indices, rows_max, w_pad, b_pad)`` launch groups.
+    With a lattice, in-range pairs share its frozen shapes (chunked at
+    ``lattice.batch``); out-of-range pairs (and all pairs when no lattice is
+    given) use the dynamic power-of-``dyn_factor`` bucketing with ×4 batch
+    quantisation.
+    """
+    from kaptive_tpu.utils.metrics import count
+
+    def dyn_bucket(x: int, minimum: int) -> int:
+        size = minimum
+        while size < x:
+            size *= dyn_factor
+        return size
+
+    n = len(joint)
+    rows_of = np.empty(n, dtype=np.int64)
+    w_of = np.empty(n, dtype=np.int64)
+    on_lattice = np.zeros(n, dtype=bool)
+    if lattice is not None:
+        widths = np.asarray(lattice.widths, dtype=np.int64)
+        wi = np.searchsorted(widths, np.asarray(w_needed, dtype=np.int64))
+        on_lattice = (np.asarray(joint) <= lattice.rows) & (wi < len(widths))
+        rows_of[on_lattice] = lattice.rows
+        w_of[on_lattice] = widths[wi[on_lattice]]
+    off = ~on_lattice
+    if off.any():
+        if lattice is not None:
+            count("swg.offlattice", int(off.sum()))
+        rows_of[off] = [dyn_bucket(int(s), dyn_min_size) for s in joint[off]]
+        w_of[off] = [dyn_bucket(int(w), dyn_min_w) for w in w_needed[off]]
+
+    groups: list[tuple[np.ndarray, int, int, int]] = []
+    keys = rows_of * 10**6 + w_of
+    for key in np.unique(keys):
+        sel = np.nonzero(keys == key)[0]
+        rows_max = int(rows_of[sel[0]])
+        w_pad = int(w_of[sel[0]])
+        if lattice is not None and bool(on_lattice[sel[0]]):
+            b_fix = lattice.batch
+            for start in range(0, len(sel), b_fix):
+                groups.append((sel[start : start + b_fix], rows_max, w_pad, b_fix))
+        else:
+            b = len(sel)
+            b_pad = min_batch
+            while b_pad < b:
+                b_pad *= 4
+            groups.append((sel, rows_max, w_pad, b_pad))
+    return groups
 
 
 class SwgResult(NamedTuple):
@@ -301,6 +406,9 @@ def banded_swg(
     """
     import os
 
+    from kaptive_tpu.utils.metrics import count, record_shape
+
+    record_shape("swg", rows_max, w_pad, int(q_codes.shape[0]))
     impl = impl or os.environ.get("KAPTIVE_SWG_IMPL", "auto")
     if impl != "lax":
         from kaptive_tpu.ops import swg_pallas
@@ -324,6 +432,7 @@ def banded_swg(
                 "Pallas kernel contract"
             )
         if ok and (impl == "pallas" or not interpret):
+            count("swg.dispatch.pallas")
             row_lut, col_lut, small = compressed
             return swg_pallas.banded_swg_pallas(
                 jnp.asarray(q_codes),
@@ -344,6 +453,7 @@ def banded_swg(
                 n_col=small.shape[1],
                 interpret=interpret,
             )
+    count("swg.dispatch.lax")
     return banded_swg_lax(
         jnp.asarray(q_codes),
         jnp.asarray(q_lens, dtype=jnp.int32),

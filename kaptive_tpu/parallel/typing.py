@@ -198,6 +198,122 @@ def sharded_scan_match(
     return merged
 
 
+def sharded_scan_match_chain(
+    mesh: Mesh,
+    packed: np.ndarray,  # (B, L // 4) uint8, B divisible by data axis
+    bits: np.ndarray,  # (B, L // 8) uint8
+    table: ShardedGeneTable,
+    contig_starts: np.ndarray,  # (B, c_pad) int32 flat-stream contig starts
+    gene_lengths: np.ndarray,  # (n_genes,) int32, replicated
+    *,
+    length: int,
+    cap_mins: int,
+    cap_cand: int = CANDIDATE_CAP,
+    cap_anchors: int = ANCHOR_CAP,
+    max_occ: int = DEVICE_MAX_OCC,
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    cap_chains: int,
+    max_diag_drift: int,
+    max_anchor_gap: int,
+) -> tuple[np.ndarray, dict]:
+    r"""Seeding stages + single-linkage chaining, all on the mesh.
+
+    Round 2's sharded path downloaded the raw merged anchor buffers
+    (``model * cap_anchors`` rows per genome) and chained on host; here the
+    per-shard anchor sets are merged with the same ``all_gather`` and then
+    chained **on device** (:func:`kaptive_tpu.ops.mapper._chain_core` vmapped
+    over the data-local genomes), so only ``cap_chains`` chain descriptors per
+    genome cross the tunnel.  The chain output is bit-identical to the
+    single-device chainer: chaining starts from a multi-key sort, so anchor
+    order produced by the shard merge is irrelevant.
+
+    Returns ``(chains (B, 10, cap_chains) int32, counts dict)`` where counts
+    carries per-genome ``n_minimizers`` / ``n_candidates`` / ``n_anchors``
+    (max over shards — each shard enforces the caps independently) and
+    ``n_chains``.
+    """
+    from kaptive_tpu.ops.mapper import _ANCHOR_FIELDS, _CHAIN_FIELDS, _chain_core
+
+    model = table.model
+    iters = table.lookup_iters
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("data", None), P("data", None),
+            P("model"), P("model"), P("model"), P("model"),
+            P("model"), P("model"), P("model"),
+            P("data", None), P(None),
+        ),
+        out_specs=(
+            P("data", None, None), P("data"),
+            P("data"), P("data"), P("data"),
+        ),
+        check_vma=False,
+    )
+    def step(packed_s, bits_s, th, tg, tp, ts, bs, rl, bw, starts_s, glen):
+        def one(p, e):
+            pos, h, st, nm = _scan_compact_core(
+                p, e, length=length, cap_mins=cap_mins, k=k, w=w
+            )
+            return _match_core(
+                pos, h, st, nm, th, tg, tp, ts, bs, rl, bw,
+                length=length, cap_cand=cap_cand, cap_anchors=cap_anchors,
+                lookup_iters=iters, max_occ=max_occ,
+            )
+
+        local = jax.vmap(one)(packed_s, bits_s)
+        # Disjoint per-shard anchor sets -> merge over the model axis:
+        # (B_local, cap) -> (B_local, model * cap) per anchor field.
+        merged = {
+            key: jnp.moveaxis(
+                jax.lax.all_gather(local[key], "model", axis=0), 0, 1
+            ).reshape(local[key].shape[0], -1)
+            for key in _ANCHOR_FIELDS
+        }
+        counts = {
+            key: jnp.max(jax.lax.all_gather(local[key], "model", axis=0), axis=0)
+            for key in ("n_minimizers", "n_candidates", "n_anchors")
+        }
+
+        def chain_one(anch, starts):
+            d = dict(anch)
+            d["valid"] = d["valid"].astype(bool)
+            return _chain_core(
+                d, starts, glen, k=k, cap_chains=cap_chains,
+                max_diag_drift=max_diag_drift, max_anchor_gap=max_anchor_gap,
+            )
+
+        chains, n_chains = jax.vmap(chain_one)(merged, starts_s)
+        return (
+            chains, n_chains.astype(jnp.int32),
+            counts["n_minimizers"], counts["n_candidates"], counts["n_anchors"],
+        )
+
+    def put(x, spec):
+        return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
+
+    chains_d, n_chains, n_mins, n_cand, n_anch = step(
+        put(packed, P("data", None)), put(bits, P("data", None)),
+        put(table.hashes, P("model")), put(table.genes, P("model")),
+        put(table.positions, P("model")), put(table.strands, P("model")),
+        put(table.bucket_starts, P("model")), put(table.run_len, P("model")),
+        put(table.bloom, P("model")),
+        put(contig_starts, P("data", None)),
+        put(gene_lengths, P(None)),
+    )
+    assert len(_CHAIN_FIELDS) == chains_d.shape[1]
+    counts = {
+        "n_minimizers": np.asarray(n_mins),
+        "n_candidates": np.asarray(n_cand),
+        "n_anchors": np.asarray(n_anch),
+        "n_chains": np.asarray(n_chains),
+    }
+    return np.asarray(chains_d), counts
+
+
 def device_count(mesh: Mesh | None) -> int:
     return int(mesh.devices.size) if mesh is not None else 1
 

@@ -150,6 +150,12 @@ class Type(Command):
             help="Print per-phase wall-time totals to stderr after the run "
             "(set KAPTIVE_TRACE_DIR to also capture a jax.profiler device trace)",
         )
+        opts.add_argument(
+            "--precompile", action="store_true",
+            help="Compile every device program up front (Serotyper.warmup) before "
+            "streaming genomes; compiled programs persist in the XLA cache so later "
+            "runs skip the compile cost entirely (default: False)",
+        )
 
     def __call__(self, args: argparse.Namespace) -> None:
         self.cli.msg(f"💽 Loading database {args.database}...")
@@ -174,6 +180,10 @@ class Type(Command):
         from kaptive_tpu.parallel.pipeline import auto_batch_size
 
         batch_size = args.batch_size or auto_batch_size()
+        if args.precompile:
+            self.cli.msg("🔥 Precompiling device programs...")
+            elapsed = serotyper.warmup(batch_size=batch_size)
+            self.cli.msg(f"🔥 Warm-up done in {elapsed:.1f}s")
         with device_trace():
             results = stream_type(
                 serotyper, args.genomes, batch_size=batch_size,

@@ -65,18 +65,44 @@ class Serotyper:
         partial_edge_tolerance: int = 5,
         mesh=None,
     ) -> None:
+        import dataclasses
+
+        from kaptive_tpu.ops.swg import SwgLattice
+
         self._db = db
         self.max_other_genes = max_other_genes
         self.min_completeness = min_completeness
         self.allow_below_threshold = allow_below_threshold
-        self.mapper_params = mapper_params or MapperParams()
+        # scoring_metric is stored for API parity only: the reference shares
+        # the wart of never reading it (``serotyping/core.py:62-98`` accepts it
+        # but the scoring phase always uses the q_cov sum).
         self.scoring_metric = scoring_metric
         self.min_gene_coverage = min_gene_coverage
         self.partial_edge_tolerance = partial_edge_tolerance
         # Optional jax.sharding.Mesh with (data, model) axes: assemblies shard
         # over data, the gene table over model, DP pairs over every device.
         self.mesh = mesh
-        self._protein_aligner = PairwiseAligner(mesh=mesh)
+
+        # Frozen DP shape lattices derived from what this database can ever
+        # produce, so every banded-SWG shape is known up front and compiled
+        # once (during :meth:`warmup` or the first batch) — steady state never
+        # pays a device compile.  Protein pairs: hit translation vs DB
+        # translation, both bounded by the longest DB protein (+25% slack for
+        # insertion-stretched hits).  Extension pairs: gene vs chain-projected
+        # contig window, bounded by the longest DB gene plus window padding.
+        max_prot = int(db.translations.lengths.max()) if len(db.translations) else 64
+        self._protein_lattice = SwgLattice.for_max_len(
+            max_prot, len_slack=max(16, max_prot // 4)
+        )
+        max_gene = int(db.genes.lengths.max()) if len(db.genes) else 256
+        self._ext_lattice = SwgLattice.for_max_len(
+            max_gene, len_slack=768, widths=(128, 512)
+        )
+        mp = mapper_params or MapperParams()
+        if mp.lattice is None:
+            mp = dataclasses.replace(mp, lattice=self._ext_lattice)
+        self.mapper_params = mp
+        self._protein_aligner = PairwiseAligner(mesh=mesh, lattice=self._protein_lattice)
 
         # String vocabularies as width-fitted byte arrays for fast fancy-index
         # construction of GeneHits (the reference re-encodes per hit per call).
@@ -224,6 +250,81 @@ class Serotyper:
                 for a in range(n_asm)
             ]
         return results
+
+    def warmup(
+        self, genome_length: int = 5_500_000, batch_size: int = 8, seed: int = 0
+    ) -> float:
+        r"""Compile every device program the typing pipeline can dispatch.
+
+        Deployments (and ``kaptive type --precompile``) call this once before
+        streaming real assemblies: it (1) pre-dispatches every frozen DP
+        lattice shape, then (2) types one synthetic batch of
+        ``batch_size`` assemblies of ``genome_length`` (pick the size class of
+        the real inputs — the scan programs are keyed on the power-of-two
+        genome bucket), each containing one DB locus, which compiles the scan
+        /match/chain programs and the decision-layer jits.  Compiled programs
+        land in the persistent XLA cache (``~/.cache/kaptive_tpu_jax``), so a
+        later process skips the compile cost entirely.  Returns elapsed
+        seconds.
+        """
+        import io
+        import time
+
+        t0 = time.perf_counter()
+        self._precompile_dp_lattices()
+        db = self._db
+        rng = np.random.default_rng(seed)
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        genomes = []
+        for i in range(batch_size):
+            li = i % max(len(db.loci), 1)
+            locus = db.loci.seqs[
+                db.loci.offsets[li] : db.loci.offsets[li] + db.loci.lengths[li]
+            ].tobytes() if len(db.loci) else b""
+            flank = max((genome_length - len(locus)) // 2, 1)
+            contig = (
+                bases[rng.integers(0, 4, flank)].tobytes()
+                + locus
+                + bases[rng.integers(0, 4, flank)].tobytes()
+            )
+            genomes.append(
+                GenomeAssembly.from_stream(
+                    io.BytesIO(b">c1\n%s\n" % contig), f"warmup{i}"
+                )
+            )
+        self.batch(genomes)
+        return time.perf_counter() - t0
+
+    def _precompile_dp_lattices(self) -> None:
+        r"""Dispatch one dummy problem per frozen DP bucket shape."""
+        from kaptive_tpu.core.pairwise import blosum62_matrix
+        from kaptive_tpu.ops.mapper import NT_GAP_EXTEND, NT_GAP_OPEN, _NT_MATRIX
+        from kaptive_tpu.ops.swg import banded_swg
+
+        prot_matrix = np.asarray(blosum62_matrix(), dtype=np.int32)
+        aligner = self._protein_aligner
+        plans = [
+            (self._protein_lattice, prot_matrix, aligner.gap_open, aligner.gap_extend),
+            (self._ext_lattice, _NT_MATRIX, NT_GAP_OPEN, NT_GAP_EXTEND),
+        ]
+        pending = []
+        for lattice, matrix, go, ge in plans:
+            for rows, w, b in lattice.shapes():
+                t_pad = w + 2
+                pending.append(
+                    banded_swg(
+                        np.zeros((b, rows), dtype=np.uint8),
+                        np.ones(b, dtype=np.int32),
+                        np.zeros((b, rows + 2 * t_pad), dtype=np.uint8),
+                        np.ones(b, dtype=np.int32),
+                        np.zeros(b, dtype=np.int32),
+                        np.ones(b, dtype=np.int32),
+                        matrix, gap_open=go, gap_extend=ge,
+                        rows_max=rows, w_pad=w, t_pad=t_pad,
+                    )
+                )
+        for res in pending:  # block so compile errors surface here
+            np.asarray(res.scores)
 
     def _assemble_result(
         self, genome, a, pick, recon, hits, rows, pieces,
