@@ -43,7 +43,7 @@ def build_fixtures():
 
     CACHE.mkdir(parents=True, exist_ok=True)
     db_pkl = CACHE / "bench_db.pkl"
-    asm_pkl = CACHE / "bench_assemblies.pkl"
+    asm_pkl = CACHE / f"bench_assemblies_{N_ASSEMBLIES}.pkl"
     rng = np.random.default_rng(2026)
     if db_pkl.exists() and asm_pkl.exists():
         db = Database.from_pickle(db_pkl)

@@ -126,12 +126,29 @@ class Annotator:
         aligner_kwargs: dict[str, Any] | None = None,
         whole_genome: bool = False,
         min_codons: int = 30,
+        orf_method: str = "hmm",
     ) -> None:
+        r"""``orf_method``: ``"hmm"`` (default) decodes the frameshift-tolerant
+        gene HMM (:mod:`kaptive_tpu.bgc.genefinder`, the pyfgs/FragGeneScan
+        equivalent — ref ``bgc/annotate.py:261-278``) with codon emissions
+        estimated from this database's genes; ``"scan"`` uses the plain
+        six-frame ORF scan with post-hoc frameshift recovery."""
         self._db = db
         self.align = align
         self.aligner = PairwiseAligner(**(aligner_kwargs or {})) if align else None
         self.whole_genome = whole_genome
         self.min_codons = min_codons
+        if orf_method not in ("hmm", "scan"):
+            raise ValueError(f"unknown orf_method {orf_method!r}")
+        self.orf_method = orf_method
+        if orf_method == "hmm":
+            from kaptive_tpu.bgc.genefinder import GeneHmmParams
+
+            self._hmm_params = (
+                GeneHmmParams.from_sequences(db.genes)
+                if len(db.genes)
+                else GeneHmmParams.uniform()
+            )
         self._db_idx = RandstrobeIndex.build(self._db.translations, sort_by_hash=True)
 
     def __call__(self, genome: GenomeAssembly) -> AnnotationResult:
@@ -146,6 +163,12 @@ class Annotator:
         def _predict(seq_bytes: bytes):
             if len(seq_bytes) < 3:
                 return []
+            if self.orf_method == "hmm":
+                from kaptive_tpu.bgc.genefinder import find_genes_hmm
+
+                return resolve_overlaps(
+                    find_genes_hmm(seq_bytes, self._hmm_params, min_codons=self.min_codons)
+                )
             return recover_frameshifts(resolve_overlaps(find_orfs(seq_bytes, min_codons=self.min_codons)))
 
         with ThreadPoolExecutor() as executor:

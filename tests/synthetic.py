@@ -48,6 +48,22 @@ def make_orf(rng, n_codons: int) -> bytes:
     return b"".join(codons)
 
 
+# A biased codon vocabulary (one strongly preferred codon per amino acid, as
+# in real genomes with strong codon-usage bias) — lets tests model the coding
+# statistics gene-finding HMMs actually rely on.
+_BIASED_CODONS = [
+    b"GCG", b"CGC", b"AAC", b"GAT", b"TGC", b"CAG", b"GAA", b"GGC", b"CAT",
+    b"ATC", b"CTG", b"AAA", b"TTC", b"CCG", b"AGC", b"ACC", b"TGG",
+    b"TAC", b"GTG",
+]
+
+
+def make_biased_orf(rng, n_codons: int) -> bytes:
+    """ORF drawn from a biased codon vocabulary (realistic coding statistics)."""
+    idx = rng.integers(0, len(_BIASED_CODONS), n_codons - 2)
+    return b"ATG" + b"".join(_BIASED_CODONS[i] for i in idx) + b"TAA"
+
+
 def make_synthetic_db(tmp_path, rng, n_loci: int = 4, genes_per_locus: int = 5,
                       with_extra: bool = True, with_phenotypes: bool = True,
                       name: str = "TestDB", keyword: str = "test_db"):
