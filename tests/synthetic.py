@@ -66,7 +66,8 @@ def make_biased_orf(rng, n_codons: int) -> bytes:
 
 def make_synthetic_db(tmp_path, rng, n_loci: int = 4, genes_per_locus: int = 5,
                       with_extra: bool = True, with_phenotypes: bool = True,
-                      name: str = "TestDB", keyword: str = "test_db"):
+                      name: str = "TestDB", keyword: str = "test_db",
+                      cluster_prefix: str = "wz"):
     """Write a synthetic GenBank+TOML locus database; return (gbk_path, truth dict).
 
     Each locus is spacer + alternating-strand ORF genes + spacer. Gene clusters
@@ -92,7 +93,7 @@ def make_synthetic_db(tmp_path, rng, n_loci: int = 4, genes_per_locus: int = 5,
             pos += len(spacer)
             orf = make_orf(rng, int(rng.integers(100, 260)))
             strand = 1 if gi % 2 == 0 else -1
-            cluster = f"wz{chr(ord('A') + gi)}"
+            cluster = f"{cluster_prefix}{chr(ord('A') + gi)}"
             gene_seq = orf if strand == 1 else revcomp(orf)
             seq_parts.append(gene_seq)
             feats.append(Feature("CDS", Location(pos, pos + len(orf), strand),

@@ -142,6 +142,154 @@ def test_truncated_gene_bit_identical(db_and_truth):
     _assert_match(our_result, ref_result)
 
 
+def test_untypeable_low_completeness_bit_identical(db_and_truth):
+    """Only a third of the locus present -> completeness < 0.5 -> Untypeable."""
+    db, truth, rng = db_and_truth
+    locus = truth["loci"]["KL3"]["seq"]
+    fragment = locus[: len(locus) // 5]
+    contig = random_dna(rng, 6000) + fragment + random_dna(rng, 6000)
+    our_result, ref_result = _both_results(db, _assemble(b">c1\n%s\n" % contig, "lowcomp"))
+    _assert_match(our_result, ref_result)
+    assert not our_result.typeable
+
+
+def test_untypeable_extra_intruding_genes_bit_identical(db_and_truth):
+    """Two foreign genes inserted INSIDE the locus (> max_other_genes=1)."""
+    db, truth, rng = db_and_truth
+    locus = truth["loci"]["KL1"]["seq"]
+    foreign = [g[4] for g in truth["loci"]["KL5"]["genes"][:2]]
+    cut = len(locus) // 2
+    insert = random_dna(rng, 60) + foreign[0] + random_dna(rng, 60) + foreign[1] + random_dna(rng, 60)
+    hybrid = locus[:cut] + insert + locus[cut:]
+    contig = random_dna(rng, 6000) + hybrid + random_dna(rng, 6000)
+    our_result, ref_result = _both_results(db, _assemble(b">c1\n%s\n" % contig, "intruded"))
+    _assert_match(our_result, ref_result)
+    assert not our_result.typeable
+
+
+def test_phenotype_wildcard_inactive_rule_bit_identical(db_and_truth):
+    """KL2 with a truncated wz* gene fires the wildcard inactive rule
+    (synthetic DB logic: K2-deficient on inactive_genes=['wz*'])."""
+    db, truth, rng = db_and_truth
+    locus = bytearray(truth["loci"]["KL2"]["seq"])
+    _, g_start, g_end, strand, orf = truth["loci"]["KL2"]["genes"][1]
+    mid_codon = g_start + ((g_end - g_start) // 2 // 3) * 3
+    if strand == 1:
+        locus[mid_codon : mid_codon + 3] = b"TAA"
+    else:
+        locus[g_end - mid_codon + g_start - 3 : g_end - mid_codon + g_start] = b"TTA"
+    contig = random_dna(rng, 6000) + bytes(locus) + random_dna(rng, 6000)
+    our_result, ref_result = _both_results(db, _assemble(b">c1\n%s\n" % contig, "k2def"))
+    _assert_match(our_result, ref_result)
+    assert our_result.phenotype == "K2-deficient"
+
+
+def test_phenotype_suffix_rule_bit_identical(db_and_truth):
+    """A suffix rule appends to (not replaces) the base phenotype, in priority
+    order, identically in both engines.  The suffix flag is injected into the
+    compiled Phenotypes (the TOML->as_suffix path is unwired in the reference
+    too — ``/root/reference/src/kaptive/db/core.py:209-219`` never reads it)."""
+    import dataclasses
+
+    db, truth, rng = db_and_truth
+    phen = db.phenotypes
+    ids = [i.decode() for i in phen.ids]
+    # Repurpose the K2-deficient rule as a suffix: " (deficient)".
+    k2 = ids.index("K2-deficient")
+    new_ids = np.asarray(phen.ids).copy()
+    new_ids = new_ids.astype("S32")
+    new_ids[k2] = b" (deficient)"
+    suffixed = dataclasses.replace(
+        phen,
+        ids=new_ids,
+        as_suffix=np.eye(1, len(ids), k2, dtype=bool)[0],
+    )
+    db2 = dataclasses.replace(db, phenotypes=suffixed)
+    locus = bytearray(truth["loci"]["KL2"]["seq"])
+    _, g_start, g_end, strand, orf = truth["loci"]["KL2"]["genes"][1]
+    mid_codon = g_start + ((g_end - g_start) // 2 // 3) * 3
+    if strand == 1:
+        locus[mid_codon : mid_codon + 3] = b"TAA"
+    else:
+        locus[g_end - mid_codon + g_start - 3 : g_end - mid_codon + g_start] = b"TTA"
+    contig = random_dna(rng, 6000) + bytes(locus) + random_dna(rng, 6000)
+    our_result, ref_result = _both_results(db2, _assemble(b">c1\n%s\n" % contig, "k2suf"))
+    _assert_match(our_result, ref_result)
+    assert our_result.phenotype == "K2 (deficient)"
+
+
+def test_short_junk_contigs_bit_identical(db_and_truth):
+    """Contigs shorter than k+w (no minimizers possible) must not perturb the
+    call — the reference's adversarial-panels spirit (tests/test_adversarial.py)."""
+    db, truth, rng = db_and_truth
+    locus = truth["loci"]["KL4"]["seq"]
+    fasta = b">main\n%s\n>tiny1\nACGT\n>tiny2\n%s\n>tiny3\nA\n" % (
+        random_dna(rng, 5000) + locus + random_dna(rng, 5000),
+        random_dna(rng, 18),
+    )
+    _assert_match(*_both_results(db, _assemble(fasta, "shortctg")))
+
+
+def test_long_gene_names_bit_identical(tmp_path):
+    """40-char cluster names stress the byte-width-fitted id vocabularies."""
+    from kaptive_tpu.db import Database
+
+    rng = np.random.default_rng(99)
+    prefix = "extremely_long_capsule_synthesis_cluster_name_"
+    gbk, truth = make_synthetic_db(
+        tmp_path, rng, n_loci=3, genes_per_locus=4, with_phenotypes=False,
+        name="LongDB", keyword="long_db", cluster_prefix=prefix,
+    )
+    db = Database.from_genbank(gbk)
+    fasta = make_genome_from_locus(rng, truth, "KL2", flank=5000)
+    our_result, ref_result = _both_results(db, _assemble(fasta, "longnames"))
+    _assert_match(our_result, ref_result)
+    assert prefix.encode() in bytes(our_result.gene_hits.gene_ids[0])
+
+
+def test_jsonl_roundtrip_matches_reference_serialiser(db_and_truth):
+    """Our to_dict must carry the same information as the reference's (same
+    keys, equal JSON-normalised values), and our from_dict(to_dict) must
+    reproduce byte-identical KaptiveRow TSV without recompute (the reference's
+    convert path, ``serotyping/cli.py:237-267``)."""
+    import json
+
+    from kaptive_tpu.serotyping import SerotypingResult
+    from kaptive_tpu.serotyping.cli import result_to_jsonl_bytes
+    from kaptive_tpu.serotyping.io import KaptiveRow
+
+    db, truth, rng = db_and_truth
+    fasta = make_genome_from_locus(rng, truth, "KL5", flank=6000)
+    our_result, ref_result = _both_results(db, _assemble(fasta, "roundtrip"))
+
+    ours = json.loads(result_to_jsonl_bytes(our_result))
+    theirs = json.loads(
+        json.dumps(ref_result.to_dict(), default=_ref_json_default)
+    )
+    # The version stamp differs by construction; everything else must agree.
+    ours.pop("kaptive_version"), theirs.pop("kaptive_version")
+    assert ours == theirs
+
+    rebuilt = SerotypingResult.from_dict(json.loads(result_to_jsonl_bytes(our_result)))
+    assert bytes(KaptiveRow.from_result(rebuilt)) == bytes(
+        KaptiveRow.from_result(our_result)
+    )
+
+
+def _ref_json_default(o):
+    import numpy as _np
+
+    if isinstance(o, _np.ndarray):
+        return o.tolist()
+    if isinstance(o, (_np.integer, _np.floating, _np.bool_)):
+        return o.item()
+    if isinstance(o, bytes):
+        return o.decode("utf-8")
+    if hasattr(o, "value"):
+        return int(o)
+    raise TypeError(f"Cannot serialise {type(o)}")
+
+
 def test_batch_equals_single(db_and_truth):
     """Batched decisions must equal per-genome decisions (and hence the reference)."""
     from kaptive_tpu.serotyping import Serotyper
