@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).parent / "tests"))
 import numpy as np
 
 CACHE = Path(os.environ.get("KAPTIVE_TPU_BENCH_CACHE", "/tmp/kaptive_tpu_bench"))
-N_ASSEMBLIES = int(os.environ.get("KAPTIVE_TPU_BENCH_N", "16"))
+N_ASSEMBLIES = int(os.environ.get("KAPTIVE_TPU_BENCH_N", "32"))
 GENOME_MB = 5.3
 BASELINE_ASM_PER_SEC = 1.0
 
@@ -89,7 +89,7 @@ def main() -> None:
     def make_ga(name, contig):
         return GenomeAssembly.from_stream(io.BytesIO(b">c1\n%s\n" % contig), name)
 
-    batch_size = int(os.environ.get("KAPTIVE_TPU_BENCH_BATCH", "8"))
+    batch_size = int(os.environ.get("KAPTIVE_TPU_BENCH_BATCH", "16"))
 
     # Warm-up: compiles the device kernels (minimizer scan, SWG lattice
     # shapes, decision jits) — Serotyper.warmup() covers every shape the

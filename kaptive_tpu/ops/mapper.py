@@ -542,6 +542,7 @@ _match_rows_batch = jax.jit(
 
 
 CHAIN_CAP = 4096  # per-genome chain capacity for the device chainer
+SCAN_CHUNK = 8  # genomes per scan/match/chain dispatch (fixed: batch-size-proof shapes)
 
 _CHAIN_FIELDS = (
     "gene", "ctg", "strand", "count",
@@ -1241,31 +1242,57 @@ def map_genes_batch(
             "pallas" if supports_pallas_scan(L) and not _SCAN_IMPL_DEGRADED else "xla",
         )
         with phase_timer("map.scan_match"):
-            rows_h, rows_a, rows_c, flat_codes = _rowcompact_batch(
-                packed_d, bits_d, length=L, k=gene_index.k, w=gene_index.w, impl=impl
-            )
-            anchors_d, counts_d = _match_rows_batch(
-                rows_h, rows_a, rows_c, th, tg, tp, ts, bs, rl,
-                gene_index.device_bloom,
-                CANDIDATE_CAP, cap_anchors, iters, DEVICE_MAX_OCC,
-            )
-            # Chain on device: the 64K-anchor buffers stay resident and only
-            # ~CHAIN_CAP chain descriptors per genome cross the tunnel
-            # (~1.3 MB/batch instead of up to 12 MB of raw anchors).
+            # The device stages run in fixed SCAN_CHUNK-genome slices so the
+            # compiled-program set is independent of the streaming batch size
+            # (every distinct batch shape used to cost a fresh scan/match/
+            # chain compile — minutes on a tunneled chip).  All chunks are
+            # dispatched before any result is pulled back, so their
+            # executions and D2H transfers overlap.
             c_pad = 8
             while c_pad < max(len(ci.starts) for ci in indexes):
                 c_pad *= 2
             starts_pad = np.full((n_genomes, c_pad), np.int32(0x7FFFFFFF), np.int32)
             for b, ci in enumerate(indexes):
                 starts_pad[b, : len(ci.starts)] = ci.starts.astype(np.int32)
-            chains_d, counts2_d = _chain_batch(
-                anchors_d, counts_d, jnp.asarray(starts_pad),
-                gene_index.device_gene_lengths,
-                gene_index.k, CHAIN_CAP,
-                params.max_diag_drift, params.max_anchor_gap,
+            launched_chunks = []
+            for c0 in range(0, n_genomes, SCAN_CHUNK):
+                hi = min(c0 + SCAN_CHUNK, n_genomes)
+                pc, bc = packed_d[c0:hi], bits_d[c0:hi]
+                sc = jnp.asarray(starts_pad[c0:hi])
+                if hi - c0 < SCAN_CHUNK:  # pad rows: no valid bases -> no anchors
+                    pad_n = SCAN_CHUNK - (hi - c0)
+                    pc = jnp.pad(pc, ((0, pad_n), (0, 0)))
+                    bc = jnp.pad(bc, ((0, pad_n), (0, 0)))
+                    sc = jnp.pad(sc, ((0, pad_n), (0, 0)), constant_values=0x7FFFFFFF)
+                rows_h, rows_a, rows_c, flat_c = _rowcompact_batch(
+                    pc, bc, length=L, k=gene_index.k, w=gene_index.w, impl=impl
+                )
+                anchors_d, counts_d = _match_rows_batch(
+                    rows_h, rows_a, rows_c, th, tg, tp, ts, bs, rl,
+                    gene_index.device_bloom,
+                    CANDIDATE_CAP, cap_anchors, iters, DEVICE_MAX_OCC,
+                )
+                # Chain on device: the 64K-anchor buffers stay resident and
+                # only ~CHAIN_CAP chain descriptors per genome cross the
+                # tunnel (~1.3 MB instead of up to 12 MB of raw anchors).
+                chains_d, counts2_d = _chain_batch(
+                    anchors_d, counts_d, sc,
+                    gene_index.device_gene_lengths,
+                    gene_index.k, CHAIN_CAP,
+                    params.max_diag_drift, params.max_anchor_gap,
+                )
+                launched_chunks.append((chains_d, counts2_d, flat_c))
+            counts_np = np.concatenate(
+                [np.asarray(c2) for _, c2, _ in launched_chunks], axis=1
+            )[:, :n_genomes]  # (5, B): +n_chains row
+            chains_np = np.concatenate(
+                [np.asarray(ch) for ch, _, _ in launched_chunks], axis=0
+            )[:n_genomes]  # (B, 10, CHAIN_CAP)
+            flat_codes = (
+                jnp.concatenate([f for *_, f in launched_chunks])
+                if len(launched_chunks) > 1
+                else launched_chunks[0][2]
             )
-            counts_np = np.asarray(counts2_d)  # (5, B): +n_chains row
-            chains_np = np.asarray(chains_d)  # (B, 10, CHAIN_CAP)
             out = {k2: counts_np[i] for i, k2 in enumerate(_ROW_COUNT_FIELDS)}
             out["n_chains"] = counts_np[len(_ROW_COUNT_FIELDS)]
 

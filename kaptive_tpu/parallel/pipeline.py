@@ -20,13 +20,16 @@ from kaptive_tpu.core.genome import GenomeAssembly
 
 
 def _load_and_index(path: str | Path | IO[bytes]) -> GenomeAssembly:
-    ga = GenomeAssembly.ensure(path)
-    ga.get_minimizer_index()  # encode + pack on the ingest thread
-    from kaptive_tpu.ops.mapper import _device_inputs
+    from kaptive_tpu.utils.profiling import phase_timer
 
-    # Pre-upload the packed stream so the H2D transfer overlaps the device's
-    # work on the current batch (JAX transfers are async).
-    _device_inputs(ga.minimizer_index)
+    with phase_timer("ingest.parse_pack"):  # thread-wall time (sums across workers)
+        ga = GenomeAssembly.ensure(path)
+        ga.get_minimizer_index()  # encode + pack on the ingest thread
+        from kaptive_tpu.ops.mapper import _device_inputs
+
+        # Pre-upload the packed stream so the H2D transfer overlaps the
+        # device's work on the current batch (JAX transfers are async).
+        _device_inputs(ga.minimizer_index)
     return ga
 
 
@@ -54,12 +57,13 @@ def stream_batches(
             yield [f.result() for f in futures]
 
 
-def auto_batch_size(per_device: int = 8) -> int:
+def auto_batch_size(per_device: int = 16) -> int:
     r"""Default assemblies per device batch: ``per_device`` x local device count.
 
-    The mapper's device sweeps vmap over the batch axis, so throughput rises
-    with batch until device memory (packed contigs + anchor buffers) binds;
-    8 x 5 Mb assemblies per chip is comfortably inside a v5e's HBM.
+    The device stages run in fixed 8-genome chunks regardless (compiled
+    shapes are batch-size independent — ``ops/mapper.SCAN_CHUNK``); a larger
+    streaming batch amortises the per-batch host glue and DP bucket padding.
+    16 x 5 Mb assemblies per chip is comfortably inside a v5e's HBM.
     """
     try:
         import jax

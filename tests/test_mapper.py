@@ -180,6 +180,14 @@ def test_mapper_emits_cigars_consistent_with_stats():
     strings = alns.cigars.to_strings()
     for r in range(len(alns)):
         np.testing.assert_array_equal(parse_cigar_string(strings[r]), alns.cigars[r])
+    # CIGAR mode shares the device-resident problem build with count-only
+    # mode (round 2 silently rerouted it through the host build): the hit
+    # sets and every statistic must be identical between the two modes.
+    plain = map_genes(db.gene_index, ga, names, MapperParams(emit_cigars=False))
+    assert len(plain) == len(alns)
+    for field in ("q_starts", "q_ends", "t_starts", "t_ends", "scores",
+                  "matches", "mismatches", "strands", "q_name_ids", "t_name_ids"):
+        np.testing.assert_array_equal(getattr(plain, field), getattr(alns, field), err_msg=field)
 
 
 def test_device_match_chain_parity_with_host(rng):
