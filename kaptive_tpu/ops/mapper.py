@@ -393,6 +393,16 @@ def _unpack_batch(packed, bits, *, length: int):
     return padded, padded.reshape(-1)
 
 
+@functools.partial(jax.jit, static_argnames=("length",))
+def _unpack_batch_sparse(packed_q, exc_q, real_lens, *, length: int):
+    from kaptive_tpu.ops.scan_pallas import unpack_sparse_to_padded
+
+    padded = jax.vmap(
+        lambda p, e, r: unpack_sparse_to_padded(p, e, r, length)
+    )(packed_q, exc_q, real_lens)
+    return padded, padded.reshape(-1)
+
+
 # Set after a Mosaic compile failure so the degrade to the XLA scan is
 # process-local and thread-visible (mutating os.environ leaked the choice to
 # subprocesses and raced with other threads).
@@ -400,13 +410,19 @@ _SCAN_IMPL_DEGRADED = False
 
 
 def _rowcompact_batch(packed, bits, *, length: int, k: int, w: int, impl: str):
-    r"""Unpack + row-compact minimizer scan; Pallas on TPU with a loud,
-    metrics-counted degrade to the XLA formulation on Mosaic failure."""
+    r"""Unpack + row-compact minimizer scan (dense-upload form)."""
+    padded, flat_codes = _unpack_batch(packed, bits, length=length)
+    return _scan_rows(padded, flat_codes, k=k, w=w, impl=impl)
+
+
+def _scan_rows(padded, flat_codes, *, k: int, w: int, impl: str):
+    r"""Row-compact minimizer scan over device-resident padded code rows;
+    Pallas on TPU with a loud, metrics-counted degrade to the XLA
+    formulation on Mosaic failure."""
     global _SCAN_IMPL_DEGRADED
     from kaptive_tpu.ops.scan_pallas import rowcompact_scan_tpu, rowcompact_scan_xla
     from kaptive_tpu.utils.metrics import count
 
-    padded, flat_codes = _unpack_batch(packed, bits, length=length)
     if impl == "pallas":
         try:
             h, a, c = rowcompact_scan_tpu(padded, k, w)
@@ -674,6 +690,59 @@ def _device_inputs(contig_index):
         contig_index._cache["dev_packed"] = jnp.asarray(pb)
         contig_index._cache["dev_bits"] = jnp.asarray(vb)
     return contig_index._cache["dev_packed"], contig_index._cache["dev_bits"]
+
+
+EXC_CAP = 1 << 15  # sparse-upload exception capacity (Ns + inter-contig sentinels)
+
+
+def _packed_inputs_sparse(contig_index):
+    r"""Sparse host upload form: (packed_real_q, exceptions_q, real_len).
+
+    Uploads only the real-prefix 2-bit stream (width quantised in 256 KiB
+    steps so jit keys stay stable) plus the positions of invalid bases — the
+    dense validity bitmask and the pow2 bucket padding were ~58% of the H2D
+    bytes for nothing.  Returns None when the assembly has more than
+    ``EXC_CAP`` invalid positions (callers fall back to the dense form).
+    """
+    if "sparse" not in contig_index._cache:
+        starts, lengths = contig_index.starts, contig_index.lengths
+        real = int(starts[-1] + lengths[-1]) if len(starts) else 0
+        n4 = (real + 3) // 4 * 4
+        codes_real = contig_index.codes[:n4]
+        exc = np.flatnonzero(codes_real >= 4).astype(np.int32)
+        if len(exc) > EXC_CAP:
+            contig_index._cache["sparse"] = None
+        else:
+            from kaptive_tpu.ops.minimizer import pack_2bit
+
+            packed = pack_2bit(codes_real)
+            step = 1 << 18
+            w4 = max(-(-len(packed) // step) * step, step)
+            packed_q = np.zeros(w4, dtype=np.uint8)
+            packed_q[: len(packed)] = packed
+            e_q = 1024
+            while e_q < len(exc):
+                e_q *= 4
+            exc_q = np.full(e_q, np.int32(0x40000000), dtype=np.int32)
+            exc_q[: len(exc)] = exc
+            contig_index._cache["sparse"] = (packed_q, exc_q, np.int32(real))
+    return contig_index._cache["sparse"]
+
+
+def _device_inputs_sparse(contig_index):
+    r"""Device copies of the sparse upload form (cached; None = use dense).
+
+    Ingest threads call this ahead of time and block on the transfer so the
+    H2D of the NEXT batch genuinely overlaps the current batch's compute.
+    """
+    if "dev_sparse" not in contig_index._cache:
+        sp = _packed_inputs_sparse(contig_index)
+        if sp is None:
+            contig_index._cache["dev_sparse"] = None
+        else:
+            p, e, r = sp
+            contig_index._cache["dev_sparse"] = (jnp.asarray(p), jnp.asarray(e), r)
+    return contig_index._cache["dev_sparse"]
 
 
 def find_anchors_device(gene_index: GeneIndex, contig_index, params: MapperParams):
@@ -1175,23 +1244,34 @@ def map_genes_batch(
     if len(gene_index.minimizers.hashes) == 0:  # empty DB gene table
         return [Alignments.empty() for _ in range(n_genomes)]
 
-    # Stack 2-bit packed code streams to a common bucket width.  Each genome's
-    # stream is uploaded per-row (usually already resident: the ingest threads
-    # pre-upload via _device_inputs) and stacked ON DEVICE — the 2 MB/genome
-    # H2D then overlaps the previous batch's compute instead of serialising
-    # inside the mapping phase.  Sentinel padding rows are semantically inert.
+    # Device upload of the code streams.  Preferred form is SPARSE — the
+    # quantised real-prefix 2-bit stream plus an exception list, ~2.4x fewer
+    # H2D bytes than the dense (bucket-padded stream + validity bitmask)
+    # form — and the ingest threads pre-upload + block so the transfer of the
+    # NEXT batch overlaps the current batch's compute.
+    single_dev = mesh is None or int(mesh.devices.size) <= 1
     with phase_timer("map.pack_upload"):
+        from kaptive_tpu.utils.metrics import count as _count
+
         L = max(int(ci.codes.shape[0]) for ci in indexes)
-        rows_p, rows_b = [], []
-        for ci in indexes:
-            dp, db_ = _device_inputs(ci)
-            if int(dp.shape[0]) < L // 4:
-                dp = jnp.pad(dp, (0, L // 4 - int(dp.shape[0])))
-                db_ = jnp.pad(db_, (0, L // 8 - int(db_.shape[0])))
-            rows_p.append(dp)
-            rows_b.append(db_)
-        packed_d = jnp.stack(rows_p)
-        bits_d = jnp.stack(rows_b)
+        packed_d = bits_d = None
+        sparse_rows = None
+        if single_dev:
+            sparse_rows = [_device_inputs_sparse(ci) for ci in indexes]
+            if any(s is None for s in sparse_rows):
+                _count("map.dense_upload", n_genomes)
+                sparse_rows = None
+        if single_dev and sparse_rows is None:
+            rows_p, rows_b = [], []
+            for ci in indexes:
+                dp, db_ = _device_inputs(ci)
+                if int(dp.shape[0]) < L // 4:
+                    dp = jnp.pad(dp, (0, L // 4 - int(dp.shape[0])))
+                    db_ = jnp.pad(db_, (0, L // 8 - int(db_.shape[0])))
+                rows_p.append(dp)
+                rows_b.append(db_)
+            packed_d = jnp.stack(rows_p)
+            bits_d = jnp.stack(rows_b)
 
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
     cap_anchors = ANCHOR_CAP
@@ -1254,19 +1334,53 @@ def map_genes_batch(
             starts_pad = np.full((n_genomes, c_pad), np.int32(0x7FFFFFFF), np.int32)
             for b, ci in enumerate(indexes):
                 starts_pad[b, : len(ci.starts)] = ci.starts.astype(np.int32)
+            if sparse_rows is not None:
+                w4 = max(int(s[0].shape[0]) for s in sparse_rows)
+                e_q = max(int(s[1].shape[0]) for s in sparse_rows)
             launched_chunks = []
             for c0 in range(0, n_genomes, SCAN_CHUNK):
                 hi = min(c0 + SCAN_CHUNK, n_genomes)
-                pc, bc = packed_d[c0:hi], bits_d[c0:hi]
                 sc = jnp.asarray(starts_pad[c0:hi])
                 if hi - c0 < SCAN_CHUNK:  # pad rows: no valid bases -> no anchors
                     pad_n = SCAN_CHUNK - (hi - c0)
-                    pc = jnp.pad(pc, ((0, pad_n), (0, 0)))
-                    bc = jnp.pad(bc, ((0, pad_n), (0, 0)))
                     sc = jnp.pad(sc, ((0, pad_n), (0, 0)), constant_values=0x7FFFFFFF)
-                rows_h, rows_a, rows_c, flat_c = _rowcompact_batch(
-                    pc, bc, length=L, k=gene_index.k, w=gene_index.w, impl=impl
-                )
+                if sparse_rows is not None:
+                    chunk_p, chunk_e, chunk_r = [], [], []
+                    for i in range(c0, c0 + SCAN_CHUNK):
+                        if i < hi:
+                            p, e, r = sparse_rows[i]
+                            if int(p.shape[0]) < w4:
+                                p = jnp.pad(p, (0, w4 - int(p.shape[0])))
+                            if int(e.shape[0]) < e_q:
+                                e = jnp.pad(
+                                    e, (0, e_q - int(e.shape[0])),
+                                    constant_values=0x40000000,
+                                )
+                            chunk_p.append(p)
+                            chunk_e.append(e)
+                            chunk_r.append(int(r))
+                        else:  # pad genome: zero real length -> all sentinels
+                            chunk_p.append(jnp.zeros(w4, dtype=jnp.uint8))
+                            chunk_e.append(
+                                jnp.full(e_q, 0x40000000, dtype=jnp.int32)
+                            )
+                            chunk_r.append(0)
+                    padded, flat_c = _unpack_batch_sparse(
+                        jnp.stack(chunk_p), jnp.stack(chunk_e),
+                        jnp.asarray(chunk_r, dtype=jnp.int32), length=L,
+                    )
+                    rows_h, rows_a, rows_c, flat_c = _scan_rows(
+                        padded, flat_c, k=gene_index.k, w=gene_index.w, impl=impl
+                    )
+                else:
+                    pc, bc = packed_d[c0:hi], bits_d[c0:hi]
+                    if hi - c0 < SCAN_CHUNK:
+                        pad_n = SCAN_CHUNK - (hi - c0)
+                        pc = jnp.pad(pc, ((0, pad_n), (0, 0)))
+                        bc = jnp.pad(bc, ((0, pad_n), (0, 0)))
+                    rows_h, rows_a, rows_c, flat_c = _rowcompact_batch(
+                        pc, bc, length=L, k=gene_index.k, w=gene_index.w, impl=impl
+                    )
                 anchors_d, counts_d = _match_rows_batch(
                     rows_h, rows_a, rows_c, th, tg, tp, ts, bs, rl,
                     gene_index.device_bloom,

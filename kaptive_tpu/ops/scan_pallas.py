@@ -356,6 +356,39 @@ def unpack_to_padded(packed: jax.Array, valid_bits: jax.Array, length: int) -> j
     return jnp.concatenate([pad, body, pad], axis=0)
 
 
+def unpack_sparse_to_padded(
+    packed: jax.Array,  # (W4,) uint8 — real-prefix 2-bit stream (quantised width)
+    exceptions: jax.Array,  # (E,) int32 — positions of invalid bases (pad = big)
+    real_len: jax.Array,  # scalar int32 — true stream length
+    length: int,  # full bucket-padded stream length
+) -> jax.Array:
+    r"""Sparse-upload unpack: real-prefix stream + exception list -> codes.
+
+    The dense validity bitmask cost 1 bit/position of H2D for a mask that is
+    ~100% ones (only Ns and the k-1 inter-contig sentinels are invalid), and
+    the bucket padding shipped up to ~40% dead bytes.  Here the host uploads
+    only the (quantised) real prefix plus an int32 exception list; everything
+    past ``real_len`` and every exception position becomes the sentinel code
+    on device.  Cuts the per-genome upload ~2.4x.
+    """
+    p = packed.astype(jnp.uint8)
+    quads = jnp.stack(
+        [p & 3, (p >> 2) & 3, (p >> 4) & 3, (p >> 6) & 3], axis=-1
+    ).reshape(p.shape[0] * 4)
+    idx = jnp.arange(quads.shape[0], dtype=jnp.int32)
+    codes = jnp.where(idx < real_len, quads, jnp.uint8(4))
+    codes = codes.at[exceptions].set(jnp.uint8(4), mode="drop")
+    if quads.shape[0] < length:
+        codes = jnp.concatenate(
+            [codes, jnp.full(length - quads.shape[0], 4, dtype=jnp.uint8)]
+        )
+    else:
+        codes = codes[:length]
+    body = codes.reshape(-1, ROW)
+    pad = jnp.full((HALO_ROWS, ROW), 4, dtype=jnp.uint8)
+    return jnp.concatenate([pad, body, pad], axis=0)
+
+
 def default_device_is_tpu() -> bool:
     r"""True when jitted ops run on a TPU device.
 

@@ -25,11 +25,19 @@ def _load_and_index(path: str | Path | IO[bytes]) -> GenomeAssembly:
     with phase_timer("ingest.parse_pack"):  # thread-wall time (sums across workers)
         ga = GenomeAssembly.ensure(path)
         ga.get_minimizer_index()  # encode + pack on the ingest thread
-        from kaptive_tpu.ops.mapper import _device_inputs
+        import jax
 
-        # Pre-upload the packed stream so the H2D transfer overlaps the
-        # device's work on the current batch (JAX transfers are async).
-        _device_inputs(ga.minimizer_index)
+        from kaptive_tpu.ops.mapper import _device_inputs, _device_inputs_sparse
+
+        # Pre-upload the packed stream AND block on the copy here, so the
+        # H2D genuinely lands while the device works on the current batch
+        # (an unforced transfer can be deferred to the consumer's sync point,
+        # serialising ~MBs per genome into the mapping phase).
+        sparse = _device_inputs_sparse(ga.minimizer_index)
+        if sparse is None:
+            jax.block_until_ready(_device_inputs(ga.minimizer_index))
+        else:
+            jax.block_until_ready(sparse[:2])
     return ga
 
 
