@@ -247,6 +247,29 @@ def test_long_gene_names_bit_identical(tmp_path):
     assert prefix.encode() in bytes(our_result.gene_hits.gene_ids[0])
 
 
+def test_draft_assembly_many_contigs_bit_identical(db_and_truth):
+    """A 30-contig draft assembly (locus split over 3 contigs, 27 junk
+    contigs) — exercises multi-contig layout, contig-edge partials, and the
+    sparse-upload exception path (inter-contig sentinels)."""
+    db, truth, rng = db_and_truth
+    locus = truth["loci"]["KL5"]["seq"]
+    third = len(locus) // 3
+    parts = [
+        random_dna(rng, 3000) + locus[:third],
+        locus[third : 2 * third],
+        locus[2 * third :] + random_dna(rng, 3000),
+    ]
+    fasta = b"".join(
+        b">p%d\n%s\n" % (i, p) for i, p in enumerate(parts)
+    ) + b"".join(
+        b">junk%d\n%s\n" % (i, random_dna(rng, int(rng.integers(200, 2000))))
+        for i in range(27)
+    )
+    our_result, ref_result = _both_results(db, _assemble(fasta, "draft"))
+    _assert_match(our_result, ref_result)
+    assert len(our_result.locus_pieces) >= 3
+
+
 def test_jsonl_roundtrip_matches_reference_serialiser(db_and_truth):
     """Our to_dict must carry the same information as the reference's (same
     keys, equal JSON-normalised values), and our from_dict(to_dict) must
