@@ -191,7 +191,9 @@ def _strand_genes(
     codes: np.ndarray, params: GeneHmmParams, min_codons: int
 ) -> list[tuple[int, int, bytes]]:
     r"""Decode one strand; returns (start, end, corrected translation) with
-    coordinates on this strand's orientation (end excludes the stop codon)."""
+    coordinates on this strand's orientation.  ``end`` INCLUDES a directly
+    following in-frame stop codon when present (the six-frame Orf
+    convention); the translation never includes the stop."""
     L = len(codes)
     if L < 3:
         return []

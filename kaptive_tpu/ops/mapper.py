@@ -423,6 +423,8 @@ def _scan_rows(padded, flat_codes, *, k: int, w: int, impl: str):
     from kaptive_tpu.ops.scan_pallas import rowcompact_scan_tpu, rowcompact_scan_xla
     from kaptive_tpu.utils.metrics import count
 
+    if impl == "pallas" and _SCAN_IMPL_DEGRADED:
+        impl = "xla"  # an earlier chunk already hit the Mosaic failure
     if impl == "pallas":
         try:
             h, a, c = rowcompact_scan_tpu(padded, k, w)
@@ -1254,24 +1256,12 @@ def map_genes_batch(
         from kaptive_tpu.utils.metrics import count as _count
 
         L = max(int(ci.codes.shape[0]) for ci in indexes)
-        packed_d = bits_d = None
-        sparse_rows = None
-        if single_dev:
-            sparse_rows = [_device_inputs_sparse(ci) for ci in indexes]
-            if any(s is None for s in sparse_rows):
-                _count("map.dense_upload", n_genomes)
-                sparse_rows = None
-        if single_dev and sparse_rows is None:
-            rows_p, rows_b = [], []
-            for ci in indexes:
-                dp, db_ = _device_inputs(ci)
-                if int(dp.shape[0]) < L // 4:
-                    dp = jnp.pad(dp, (0, L // 4 - int(dp.shape[0])))
-                    db_ = jnp.pad(db_, (0, L // 8 - int(db_.shape[0])))
-                rows_p.append(dp)
-                rows_b.append(db_)
-            packed_d = jnp.stack(rows_p)
-            bits_d = jnp.stack(rows_b)
+        # Per-genome sparse device uploads (usually already resident: ingest
+        # threads pre-upload and block on the transfer).  A genome beyond
+        # EXC_CAP exceptions falls back to the dense form for ITS chunk only.
+        sparse_rows = (
+            [_device_inputs_sparse(ci) for ci in indexes] if single_dev else None
+        )
 
     cap_mins = max(L // MIN_DENSITY_CAP, 1024)
     cap_anchors = ANCHOR_CAP
@@ -1310,8 +1300,10 @@ def map_genes_batch(
             chains_np = chains_np[:n_genomes]
             out = {key2: v[:n_genomes] for key2, v in counts.items()}
             # Per-shard caps are enforced independently; row_overflow does not
-            # exist on this (non-rowcompact) path.
+            # exist on this (non-rowcompact) path, but the compact-scan's
+            # cap_mins truncation does — flag it so the host fallback fires.
             out["row_overflow"] = np.zeros(n_genomes, dtype=np.int32)
+            out["mins_capped"] = (out["n_minimizers"] > cap_mins).astype(np.int32)
     else:
         from kaptive_tpu.ops.scan_pallas import supports_pallas_scan
 
@@ -1334,9 +1326,10 @@ def map_genes_batch(
             starts_pad = np.full((n_genomes, c_pad), np.int32(0x7FFFFFFF), np.int32)
             for b, ci in enumerate(indexes):
                 starts_pad[b, : len(ci.starts)] = ci.starts.astype(np.int32)
-            if sparse_rows is not None:
-                w4 = max(int(s[0].shape[0]) for s in sparse_rows)
-                e_q = max(int(s[1].shape[0]) for s in sparse_rows)
+            live_sparse = [s for s in sparse_rows if s is not None]
+            if live_sparse:
+                w4 = max(int(s[0].shape[0]) for s in live_sparse)
+                e_q = max(int(s[1].shape[0]) for s in live_sparse)
             launched_chunks = []
             for c0 in range(0, n_genomes, SCAN_CHUNK):
                 hi = min(c0 + SCAN_CHUNK, n_genomes)
@@ -1344,7 +1337,7 @@ def map_genes_batch(
                 if hi - c0 < SCAN_CHUNK:  # pad rows: no valid bases -> no anchors
                     pad_n = SCAN_CHUNK - (hi - c0)
                     sc = jnp.pad(sc, ((0, pad_n), (0, 0)), constant_values=0x7FFFFFFF)
-                if sparse_rows is not None:
+                if all(sparse_rows[i] is not None for i in range(c0, hi)):
                     chunk_p, chunk_e, chunk_r = [], [], []
                     for i in range(c0, c0 + SCAN_CHUNK):
                         if i < hi:
@@ -1373,13 +1366,22 @@ def map_genes_batch(
                         padded, flat_c, k=gene_index.k, w=gene_index.w, impl=impl
                     )
                 else:
-                    pc, bc = packed_d[c0:hi], bits_d[c0:hi]
-                    if hi - c0 < SCAN_CHUNK:
-                        pad_n = SCAN_CHUNK - (hi - c0)
-                        pc = jnp.pad(pc, ((0, pad_n), (0, 0)))
-                        bc = jnp.pad(bc, ((0, pad_n), (0, 0)))
+                    _count("map.dense_upload", hi - c0)
+                    rows_p, rows_b = [], []
+                    for i in range(c0, c0 + SCAN_CHUNK):
+                        if i < hi:
+                            dp, db_ = _device_inputs(indexes[i])
+                            if int(dp.shape[0]) < L // 4:
+                                dp = jnp.pad(dp, (0, L // 4 - int(dp.shape[0])))
+                                db_ = jnp.pad(db_, (0, L // 8 - int(db_.shape[0])))
+                        else:
+                            dp = jnp.zeros(L // 4, dtype=jnp.uint8)
+                            db_ = jnp.zeros(L // 8, dtype=jnp.uint8)
+                        rows_p.append(dp)
+                        rows_b.append(db_)
                     rows_h, rows_a, rows_c, flat_c = _rowcompact_batch(
-                        pc, bc, length=L, k=gene_index.k, w=gene_index.w, impl=impl
+                        jnp.stack(rows_p), jnp.stack(rows_b),
+                        length=L, k=gene_index.k, w=gene_index.w, impl=impl,
                     )
                 anchors_d, counts_d = _match_rows_batch(
                     rows_h, rows_a, rows_c, th, tg, tp, ts, bs, rl,
@@ -1399,9 +1401,15 @@ def map_genes_batch(
             counts_np = np.concatenate(
                 [np.asarray(c2) for _, c2, _ in launched_chunks], axis=1
             )[:, :n_genomes]  # (5, B): +n_chains row
+            # Chains D2H rides a ~30 MB/s tunnel: pull only the live prefix
+            # (typical chain counts are O(100), the 4096 cap is safety).
+            n_ch_max = int(counts_np[len(_ROW_COUNT_FIELDS)].max(initial=0))
+            pull = CHAIN_CAP
+            if 0 <= n_ch_max <= CHAIN_CAP // 4:
+                pull = max(256, 1 << int(np.ceil(np.log2(max(n_ch_max, 1)))))
             chains_np = np.concatenate(
-                [np.asarray(ch) for ch, _, _ in launched_chunks], axis=0
-            )[:n_genomes]  # (B, 10, CHAIN_CAP)
+                [np.asarray(ch[:, :, :pull]) for ch, _, _ in launched_chunks], axis=0
+            )[:n_genomes]  # (B, 10, <=CHAIN_CAP)
             flat_codes = (
                 jnp.concatenate([f for *_, f in launched_chunks])
                 if len(launched_chunks) > 1
@@ -1427,6 +1435,9 @@ def map_genes_batch(
     for b, ci in enumerate(indexes):
         causes = {
             "row_overflow": int(out["row_overflow"][b]) > 0,
+            # mesh path only: the compact scan truncates at cap_mins (the
+            # rowcompact path has per-row capacity, covered by row_overflow)
+            "minimizers": "mins_capped" in out and int(out["mins_capped"][b]) > 0,
             "candidates": int(out["n_candidates"][b]) > CANDIDATE_CAP,
             "anchors": int(out["n_anchors"][b]) > cap_anchors,
             "chains": int(out["n_chains"][b]) > CHAIN_CAP,
@@ -1444,7 +1455,7 @@ def map_genes_batch(
             arr = chains_np[b].astype(np.int64)
             n_ch = int(out["n_chains"][b])
             keep = (arr[_CHAIN_FIELDS.index("count")] >= params.min_anchors)
-            keep &= np.arange(CHAIN_CAP) < n_ch
+            keep &= np.arange(arr.shape[-1]) < n_ch
             chains = {f: arr[i][keep] for i, f in enumerate(_CHAIN_FIELDS)}
         if not chains or len(chains["gene"]) == 0:
             all_chains.append(None)

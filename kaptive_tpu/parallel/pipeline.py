@@ -19,15 +19,27 @@ from typing import IO
 from kaptive_tpu.core.genome import GenomeAssembly
 
 
-def _load_and_index(path: str | Path | IO[bytes]) -> GenomeAssembly:
+def _load_and_index(
+    path: str | Path | IO[bytes], multi_device: bool = False
+) -> GenomeAssembly:
     from kaptive_tpu.utils.profiling import phase_timer
 
     with phase_timer("ingest.parse_pack"):  # thread-wall time (sums across workers)
         ga = GenomeAssembly.ensure(path)
         ga.get_minimizer_index()  # encode + pack on the ingest thread
-        import jax
+        from kaptive_tpu.ops.mapper import (
+            _device_inputs,
+            _device_inputs_sparse,
+            _packed_inputs,
+        )
 
-        from kaptive_tpu.ops.mapper import _device_inputs, _device_inputs_sparse
+        if multi_device:
+            # The sharded-mesh mapper stacks HOST packed arrays itself and
+            # device_puts them with shardings; pre-warm that host packing
+            # here so it doesn't serialise into the mapping phase.
+            _packed_inputs(ga.minimizer_index)
+            return ga
+        import jax
 
         # Pre-upload the packed stream AND block on the copy here, so the
         # H2D genuinely lands while the device works on the current batch
@@ -46,6 +58,7 @@ def stream_batches(
     batch_size: int = 8,
     prefetch_batches: int = 1,
     max_workers: int | None = None,
+    multi_device: bool = False,
 ) -> Iterator[list[GenomeAssembly]]:
     r"""Yield fully-ingested assembly batches, prefetching ahead of the consumer."""
     genome_list = list(genomes)
@@ -55,12 +68,16 @@ def stream_batches(
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         pending = []
         for gi in range(min(prefetch_batches + 1, len(groups))):
-            pending.append([pool.submit(_load_and_index, g) for g in groups[gi]])
+            pending.append(
+                [pool.submit(_load_and_index, g, multi_device) for g in groups[gi]]
+            )
         next_submit = len(pending)
         for _ in range(len(groups)):
             futures = pending.pop(0)
             if next_submit < len(groups):
-                pending.append([pool.submit(_load_and_index, g) for g in groups[next_submit]])
+                pending.append(
+                    [pool.submit(_load_and_index, g, multi_device) for g in groups[next_submit]]
+                )
                 next_submit += 1
             yield [f.result() for f in futures]
 
@@ -89,5 +106,10 @@ def stream_type(
     max_workers: int | None = None,
 ):
     r"""Generator of SerotypingResult over a streamed, prefetched genome list."""
-    for batch in stream_batches(genomes, batch_size, prefetch_batches, max_workers=max_workers):
+    mesh = getattr(serotyper, "mesh", None)
+    multi = mesh is not None and int(mesh.devices.size) > 1
+    for batch in stream_batches(
+        genomes, batch_size, prefetch_batches, max_workers=max_workers,
+        multi_device=multi,
+    ):
         yield from serotyper.batch(batch)

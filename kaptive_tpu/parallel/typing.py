@@ -115,89 +115,6 @@ class ShardedGeneTable:
         )
 
 
-def sharded_scan_match(
-    mesh: Mesh,
-    packed: np.ndarray,  # (B, L // 4) uint8, B divisible by data axis
-    bits: np.ndarray,  # (B, L // 8) uint8
-    table: ShardedGeneTable,
-    *,
-    length: int,
-    cap_mins: int,
-    cap_cand: int = CANDIDATE_CAP,
-    cap_anchors: int = ANCHOR_CAP,
-    max_occ: int = DEVICE_MAX_OCC,
-    k: int = DEFAULT_K,
-    w: int = DEFAULT_W,
-) -> dict:
-    r"""Run the mapper's seeding stages over the mesh; returns merged anchors.
-
-    Output arrays have a trailing ``model * cap_anchors`` anchor axis — the
-    concatenation of each table shard's (disjoint) anchor set.
-    """
-    model = table.model
-    iters = table.lookup_iters
-
-    out_specs = {
-        key: P("data", None, None)
-        for key in ("valid", "c_flat_pos", "c_strand", "g_idx", "g_pos", "g_strand")
-    }
-    out_specs |= {key: P("data", None) for key in ("n_minimizers", "n_candidates", "n_anchors")}
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            P("data", None), P("data", None),
-            P("model"), P("model"), P("model"), P("model"),
-            P("model"), P("model"), P("model"),
-        ),
-        out_specs=out_specs,
-        # all_gather over "model" makes every output replicated along that
-        # axis, which the static replication checker cannot infer.
-        check_vma=False,
-    )
-    def step(packed_s, bits_s, th, tg, tp, ts, bs, rl, bw):
-        def one(p, e):
-            pos, h, st, nm = _scan_compact_core(
-                p, e, length=length, cap_mins=cap_mins, k=k, w=w
-            )
-            return _match_core(
-                pos, h, st, nm, th, tg, tp, ts, bs, rl, bw,
-                length=length, cap_cand=cap_cand, cap_anchors=cap_anchors,
-                lookup_iters=iters, max_occ=max_occ,
-            )
-        local = jax.vmap(one)(packed_s, bits_s)
-        # Disjoint per-shard anchor sets -> gather over the model axis.
-        # Per device: (B_local, model, cap) for anchor arrays, (B_local, model)
-        # for the per-shard counters.
-        return jax.tree.map(
-            lambda x: jnp.moveaxis(jax.lax.all_gather(x, "model", axis=0), 0, 1)
-            if x.ndim == 2
-            else jax.lax.all_gather(x, "model", axis=0).T,
-            local,
-        )
-
-    def put(x, spec):
-        return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
-
-    out = step(
-        put(packed, P("data", None)), put(bits, P("data", None)),
-        put(table.hashes, P("model")), put(table.genes, P("model")),
-        put(table.positions, P("model")), put(table.strands, P("model")),
-        put(table.bucket_starts, P("model")), put(table.run_len, P("model")),
-        put(table.bloom, P("model")),
-    )
-    host = {key: np.asarray(v) for key, v in out.items()}
-    merged = {}
-    b = packed.shape[0]
-    for key in ("valid", "c_flat_pos", "c_strand", "g_idx", "g_pos", "g_strand"):
-        merged[key] = host[key].reshape(b, model * host[key].shape[-1])
-    merged["n_minimizers"] = host["n_minimizers"].max(axis=1)
-    merged["n_candidates"] = host["n_candidates"].max(axis=1)
-    merged["n_anchors"] = host["n_anchors"].max(axis=1)
-    return merged
-
-
 def sharded_scan_match_chain(
     mesh: Mesh,
     packed: np.ndarray,  # (B, L // 4) uint8, B divisible by data axis

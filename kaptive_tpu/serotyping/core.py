@@ -297,9 +297,11 @@ class Serotyper:
 
     def _precompile_dp_lattices(self) -> None:
         r"""Dispatch one dummy problem per frozen DP bucket shape."""
+        import jax.numpy as jnp
+
         from kaptive_tpu.core.pairwise import blosum62_matrix
         from kaptive_tpu.ops.mapper import NT_GAP_EXTEND, NT_GAP_OPEN, _NT_MATRIX
-        from kaptive_tpu.ops.swg import banded_swg
+        from kaptive_tpu.ops.swg import banded_swg, banded_swg_lax_cigars
 
         prot_matrix = np.asarray(blosum62_matrix(), dtype=np.int32)
         aligner = self._protein_aligner
@@ -311,20 +313,25 @@ class Serotyper:
         for lattice, matrix, go, ge in plans:
             for rows, w, b in lattice.shapes():
                 t_pad = w + 2
-                pending.append(
-                    banded_swg(
-                        np.zeros((b, rows), dtype=np.uint8),
-                        np.ones(b, dtype=np.int32),
-                        np.zeros((b, rows + 2 * t_pad), dtype=np.uint8),
-                        np.ones(b, dtype=np.int32),
-                        np.zeros(b, dtype=np.int32),
-                        np.ones(b, dtype=np.int32),
-                        matrix, gap_open=go, gap_extend=ge,
-                        rows_max=rows, w_pad=w, t_pad=t_pad,
-                    )
+                args = (
+                    np.zeros((b, rows), dtype=np.uint8),
+                    np.ones(b, dtype=np.int32),
+                    np.zeros((b, rows + 2 * t_pad), dtype=np.uint8),
+                    np.ones(b, dtype=np.int32),
+                    np.zeros(b, dtype=np.int32),
+                    np.ones(b, dtype=np.int32),
                 )
-        for res in pending:  # block so compile errors surface here
-            np.asarray(res.scores)
+                statics = dict(
+                    gap_open=go, gap_extend=ge, rows_max=rows, w_pad=w, t_pad=t_pad
+                )
+                pending.append(banded_swg(*args, matrix, **statics).scores)
+                if self.mapper_params.emit_cigars and matrix is _NT_MATRIX:
+                    res, *_ = banded_swg_lax_cigars(
+                        *(jnp.asarray(a) for a in args), jnp.asarray(matrix), **statics
+                    )
+                    pending.append(res.scores)
+        for scores in pending:  # block so compile errors surface here
+            np.asarray(scores)
 
     def _assemble_result(
         self, genome, a, pick, recon, hits, rows, pieces,
