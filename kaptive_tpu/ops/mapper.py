@@ -1398,9 +1398,10 @@ def map_genes_batch(
                     params.max_diag_drift, params.max_anchor_gap,
                 )
                 launched_chunks.append((chains_d, counts2_d, flat_c))
-            counts_np = np.concatenate(
-                [np.asarray(c2) for _, c2, _ in launched_chunks], axis=1
-            )[:, :n_genomes]  # (5, B): +n_chains row
+            with phase_timer("map.scan_sync"):  # device completion + D2H
+                counts_np = np.concatenate(
+                    [np.asarray(c2) for _, c2, _ in launched_chunks], axis=1
+                )[:, :n_genomes]  # (5, B): +n_chains row
             # Chains D2H rides a ~30 MB/s tunnel: pull only the live prefix
             # (typical chain counts are O(100), the 4096 cap is safety).
             n_ch_max = int(counts_np[len(_ROW_COUNT_FIELDS)].max(initial=0))

@@ -65,6 +65,12 @@ def stream_batches(
     groups = [genome_list[i : i + batch_size] for i in range(0, len(genome_list), batch_size)]
     if not groups:
         return
+    # Default to a MODEST pool: per-genome ingest is ~0.15 s of mostly
+    # GIL-releasing numpy, so 8 workers keep ahead of the device easily,
+    # while a very wide pool's Python glue starves the main thread's
+    # dispatch loop.
+    if max_workers is None:
+        max_workers = 8
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         pending = []
         for gi in range(min(prefetch_batches + 1, len(groups))):
