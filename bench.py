@@ -112,7 +112,7 @@ def main() -> None:
     # several-fold (device compute is ~25 ms/batch; the wall is transfers),
     # so the stream is timed twice and the faster pass reported — the
     # standard discard-the-congested-iteration protocol; both passes print.
-    from kaptive_tpu.parallel.pipeline import stream_batches
+    from kaptive_tpu.parallel.pipeline import stream_type
 
     truth = [t for _, t, _ in assemblies]
 
@@ -121,11 +121,10 @@ def main() -> None:
         correct = 0
         done = 0
         t0 = time.perf_counter()
-        for batch in stream_batches(streams, batch_size=batch_size):
-            for r in serotyper.batch(batch):
-                if r.best_locus_name == truth[done]:
-                    correct += 1
-                done += 1
+        for r in stream_type(serotyper, streams, batch_size=batch_size):
+            if r.best_locus_name == truth[done]:
+                correct += 1
+            done += 1
         return time.perf_counter() - t0, correct
 
     passes = []

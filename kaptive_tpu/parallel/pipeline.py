@@ -111,11 +111,27 @@ def stream_type(
     prefetch_batches: int = 1,
     max_workers: int | None = None,
 ):
-    r"""Generator of SerotypingResult over a streamed, prefetched genome list."""
+    r"""Generator of SerotypingResult over a streamed, prefetched genome list.
+
+    Two-stage software pipeline: batch k+1's device mapping stage
+    (``Serotyper.map_batch``, run on a single worker thread — JAX dispatch is
+    thread-safe) overlaps batch k's decision stages
+    (``Serotyper.finish_batch`` on this thread).  Every stage boundary waits
+    in the shared device's work queue, so overlapping the waits recovers
+    roughly a phase of latency per batch; results still stream in order.
+    """
     mesh = getattr(serotyper, "mesh", None)
     multi = mesh is not None and int(mesh.devices.size) > 1
-    for batch in stream_batches(
+    batches = stream_batches(
         genomes, batch_size, prefetch_batches, max_workers=max_workers,
         multi_device=multi,
-    ):
-        yield from serotyper.batch(batch)
+    )
+    with ThreadPoolExecutor(max_workers=1) as device_stage:
+        pending = None  # (future over map_batch,) for the batch ahead
+        for batch in batches:
+            future = device_stage.submit(serotyper.map_batch, batch)
+            if pending is not None:
+                yield from serotyper.finish_batch(*pending.result())
+            pending = future
+        if pending is not None:
+            yield from serotyper.finish_batch(*pending.result())

@@ -117,21 +117,43 @@ class Serotyper:
 
     def batch(self, genomes: list[GenomeAssembly | str | Path]) -> list[SerotypingResult | None]:
         r"""Type a batch of assemblies with batch-amortised device dispatches."""
+        assemblies, alns_list = self.map_batch(genomes)
+        return self.finish_batch(assemblies, alns_list)
+
+    def map_batch(self, genomes: list[GenomeAssembly | str | Path]):
+        r"""Device mapping stage only: (assemblies, per-assembly Alignments).
+
+        Split from :meth:`finish_batch` so a streaming caller can overlap the
+        next batch's device mapping with the current batch's decision phases
+        (:func:`kaptive_tpu.parallel.pipeline.stream_type` does) — each phase
+        boundary re-enters the shared device's work queue, so overlapping the
+        waits is worth ~a phase per batch on a contended chip.
+        """
         from kaptive_tpu.ops.mapper import map_genes_batch
         from kaptive_tpu.utils.profiling import phase_timer
 
-        db = self._db
         n_asm = len(genomes)
         if n_asm == 0:
-            return []
-
+            return [], []
         with phase_timer("type.ingest"):
             assemblies = [GenomeAssembly.ensure(g) for g in genomes]
         with phase_timer("type.map"):
             alns_list = map_genes_batch(
-                db.gene_index, assemblies, self._gene_names, self.mapper_params,
-                mesh=self.mesh,
+                self._db.gene_index, assemblies, self._gene_names,
+                self.mapper_params, mesh=self.mesh,
             )
+        return assemblies, alns_list
+
+    def finish_batch(
+        self, assemblies: list, alns_list: list
+    ) -> list[SerotypingResult | None]:
+        r"""Decision stages over pre-computed mapper hits (see :meth:`map_batch`)."""
+        from kaptive_tpu.utils.profiling import phase_timer
+
+        db = self._db
+        n_asm = len(assemblies)
+        if n_asm == 0:
+            return []
 
         with phase_timer("type.decide"):
             table = HitTable.from_alignments(alns_list)
