@@ -920,30 +920,41 @@ def run_extension_dp_device(
 ):
     r"""Bucketed banded-SWG sweep with device-side problem materialisation.
 
+    Convenience wrapper: :func:`launch_extension_dp_device` +
+    :func:`collect_extension_dp_device` (the streaming mapper keeps them
+    separate so one chunk's DP executes while the next chunk's chains pull).
+    """
+    return collect_extension_dp_device(
+        launch_extension_dp_device(specs, gene_index, flat_codes, params)
+    )
+
+
+def launch_extension_dp_device(
+    specs: dict, gene_index: GeneIndex, flat_codes, params: MapperParams
+):
+    r"""Dispatch the bucketed banded-SWG sweep with device-side problem
+    materialisation; returns a pending handle for
+    :func:`collect_extension_dp_device`.
+
     ``specs`` is the merged output of :func:`build_extension_specs`;
     ``flat_codes`` the flattened (B * L_pad,) padded code stream from the
     scan stage (device-resident).  Bucket-shape policy matches
     :func:`kaptive_tpu.core.pairwise.batched_swg_align`.
 
     With ``params.emit_cigars`` the traceback additionally records BAM CIGAR
-    runs (returns ``(PairwiseAlignments, Cigars)``; pairs whose op count
-    overflowed the device buffer get an empty CIGAR, stats stay exact) — the
-    problem build stays fully device-resident either way, so CIGAR mode no
-    longer pays the host code-gather + matrix upload it did in round 2.
+    runs (collect returns ``(PairwiseAlignments, Cigars)``; pairs whose op
+    count overflowed the device buffer get an empty CIGAR, stats stay exact)
+    — the problem build stays fully device-resident either way.
     """
-    from kaptive_tpu.core.pairwise import _RESULT_FIELDS, _stack_result
-    from kaptive_tpu.core.pairwise import PairwiseAlignments
-    from kaptive_tpu.ops.swg import MAX_CIGAR_OPS, banded_swg, banded_swg_lax_cigars, plan_swg_buckets
+    from kaptive_tpu.core.pairwise import _stack_result
+    from kaptive_tpu.ops.swg import banded_swg, banded_swg_lax_cigars, plan_swg_buckets
 
     n = len(specs["gene"])
     w_needed = 2 * specs["k_locals"] + 3
     joint = np.maximum(np.maximum(specs["glen"], specs["t_len"]), 1)
 
     gene_codes_d = gene_index.device_codes
-    out = {f: np.zeros(n, dtype=np.int32) for f in _RESULT_FIELDS}
     emit = bool(params.emit_cigars)
-    ops_out = np.zeros((n, MAX_CIGAR_OPS), dtype=np.uint32) if emit else None
-    n_ops_out = np.zeros(n, dtype=np.int32) if emit else None
     launched = []
     for sel, rows_max, w_pad, b_pad in plan_swg_buckets(joint, w_needed, params.lattice):
         t_max = rows_max
@@ -982,7 +993,18 @@ def run_extension_dp_device(
         else:
             res = banded_swg(*args, _NT_MATRIX, **statics)
             launched.append((sel, b, _stack_result(tuple(res)), None))
+    return launched, n, emit
 
+
+def collect_extension_dp_device(pending):
+    r"""Pull a :func:`launch_extension_dp_device` dispatch back to host."""
+    from kaptive_tpu.core.pairwise import _RESULT_FIELDS, PairwiseAlignments
+    from kaptive_tpu.ops.swg import MAX_CIGAR_OPS
+
+    launched, n, emit = pending
+    out = {f: np.zeros(n, dtype=np.int32) for f in _RESULT_FIELDS}
+    ops_out = np.zeros((n, MAX_CIGAR_OPS), dtype=np.uint32) if emit else None
+    n_ops_out = np.zeros(n, dtype=np.int32) if emit else None
     for sel, b, stacked, cig in launched:
         arr = np.asarray(stacked)
         for i, field in enumerate(_RESULT_FIELDS):
@@ -1398,31 +1420,18 @@ def map_genes_batch(
                     params.max_diag_drift, params.max_anchor_gap,
                 )
                 launched_chunks.append((chains_d, counts2_d, flat_c))
-            with phase_timer("map.scan_sync"):  # device completion + D2H
-                counts_np = np.concatenate(
-                    [np.asarray(c2) for _, c2, _ in launched_chunks], axis=1
-                )[:, :n_genomes]  # (5, B): +n_chains row
-            # Chains D2H rides a ~30 MB/s tunnel: pull only the live prefix
-            # (typical chain counts are O(100), the 4096 cap is safety).
-            n_ch_max = int(counts_np[len(_ROW_COUNT_FIELDS)].max(initial=0))
-            pull = CHAIN_CAP
-            if 0 <= n_ch_max <= CHAIN_CAP // 4:
-                pull = max(256, 1 << int(np.ceil(np.log2(max(n_ch_max, 1)))))
-            chains_np = np.concatenate(
-                [np.asarray(ch[:, :, :pull]) for ch, _, _ in launched_chunks], axis=0
-            )[:n_genomes]  # (B, 10, <=CHAIN_CAP)
-            flat_codes = (
-                jnp.concatenate([f for *_, f in launched_chunks])
-                if len(launched_chunks) > 1
-                else launched_chunks[0][2]
-            )
-            out = {k2: counts_np[i] for i, k2 in enumerate(_ROW_COUNT_FIELDS)}
-            out["n_chains"] = counts_np[len(_ROW_COUNT_FIELDS)]
+        # Per-chunk interleave: pull chunk c's chains and build+dispatch its
+        # extension DP while chunk c+1's scan still executes on device — the
+        # host work and DP dispatch hide inside the next chunk's queue time
+        # instead of adding a full work-queue re-entry per phase.
+        return _finish_chunks_device(
+            launched_chunks, indexes, genomes, gene_index, gene_names, params,
+            n_genomes, L,
+        )
 
-    # Per-genome host phases: chains -> extension problem specs.  Device-side
-    # problem materialisation needs the device-resident padded code stream
-    # (single-device path only); the sharded path builds problems on host and
-    # runs the DP sweep sharded over the mesh.
+    # --- sharded-mesh tail: chains were pulled for the whole batch ----------
+    # Per-genome host phases: chains -> extension problem specs; the DP
+    # sweep runs sharded over the mesh from host-built problems.
     use_device_dp = flat_codes is not None
     from kaptive_tpu.ops.scan_pallas import PAD_POS
 
@@ -1529,4 +1538,126 @@ def map_genes_batch(
             )
     else:
         results = [Alignments.empty() for _ in range(n_genomes)]
+    return results
+
+
+def _finish_chunks_device(
+    launched_chunks, indexes, genomes, gene_index: GeneIndex,
+    gene_names, params: MapperParams, n_genomes: int, L: int,
+) -> list[Alignments]:
+    r"""Single-device tail of :func:`map_genes_batch`: per-chunk pull ->
+    chains -> extension specs -> DP dispatch, interleaved so chunk ``c``'s
+    host work and DP dispatch overlap chunk ``c+1``'s device execution; all
+    DP sweeps collect at the end.
+    """
+    from kaptive_tpu.core.pairwise import PairwiseAlignments
+    from kaptive_tpu.ops.scan_pallas import PAD_POS
+    from kaptive_tpu.utils.metrics import count as _count
+    from kaptive_tpu.utils.profiling import phase_timer
+
+    lp = L + 2 * PAD_POS  # per-genome length within a chunk's flat stream
+    pendings = []
+    for c0, (chains_d, counts2_d, flat_c) in zip(
+        range(0, n_genomes, SCAN_CHUNK), launched_chunks
+    ):
+        hi = min(c0 + SCAN_CHUNK, n_genomes)
+        with phase_timer("map.scan_sync"):  # device completion + counts D2H
+            counts_np = np.asarray(counts2_d)  # (5, SCAN_CHUNK)
+        out_c = {k2: counts_np[i] for i, k2 in enumerate(_ROW_COUNT_FIELDS)}
+        out_c["n_chains"] = counts_np[len(_ROW_COUNT_FIELDS)]
+        # Chains D2H rides a ~30 MB/s tunnel: pull only the live prefix
+        # (typical chain counts are O(100); the 4096 cap is safety).
+        n_ch_max = int(out_c["n_chains"][: hi - c0].max(initial=0))
+        pull = CHAIN_CAP
+        if 0 <= n_ch_max <= CHAIN_CAP // 4:
+            pull = max(256, 1 << int(np.ceil(np.log2(max(n_ch_max, 1)))))
+        with phase_timer("map.scan_sync"):
+            chains_pull = np.asarray(chains_d[:, :, :pull])
+
+        chunk_chains: list[dict | None] = []
+        chunk_problems: list[dict | None] = []
+        with phase_timer("map.chain_host"):
+            for b_local in range(hi - c0):
+                b = c0 + b_local
+                ci = indexes[b]
+                causes = {
+                    "row_overflow": int(out_c["row_overflow"][b_local]) > 0,
+                    "candidates": int(out_c["n_candidates"][b_local]) > CANDIDATE_CAP,
+                    "anchors": int(out_c["n_anchors"][b_local]) > ANCHOR_CAP,
+                    "chains": int(out_c["n_chains"][b_local]) > CHAIN_CAP,
+                }
+                if any(causes.values()):
+                    for cause, hit in causes.items():
+                        if hit:
+                            _count(f"map.host_fallback.{cause}")
+                    _count("map.host_chained")
+                    anchors = find_anchors(gene_index, ci.minimizers, params)
+                    chains = chain_anchors(
+                        *anchors, gene_index.lengths, gene_index.k, params
+                    )
+                else:
+                    _count("map.device_chained")
+                    arr = chains_pull[b_local].astype(np.int64)
+                    n_ch = int(out_c["n_chains"][b_local])
+                    keep = arr[_CHAIN_FIELDS.index("count")] >= params.min_anchors
+                    keep &= np.arange(arr.shape[-1]) < n_ch
+                    chains = {f: arr[i][keep] for i, f in enumerate(_CHAIN_FIELDS)}
+                if not chains or len(chains["gene"]) == 0:
+                    chunk_chains.append(None)
+                    chunk_problems.append(None)
+                    continue
+                chunk_chains.append(chains)
+                chunk_problems.append(
+                    build_extension_specs(
+                        chains, gene_index, ci, params, flat_base=b_local * lp
+                    )
+                )
+
+        live = [p for p in chunk_problems if p is not None]
+        dp_pending = None
+        if live:
+            merged = {
+                key: np.concatenate([p[key] for p in live])
+                for key in live[0]
+                if key != "t_lo"
+            }
+            with phase_timer("map.extension_dp"):
+                dp_pending = launch_extension_dp_device(
+                    merged, gene_index, flat_c, params
+                )
+        pendings.append((c0, hi, chunk_chains, chunk_problems, dp_pending))
+
+    results: list[Alignments] = []
+    for c0, hi, chunk_chains, chunk_problems, dp_pending in pendings:
+        if dp_pending is None:
+            results.extend(Alignments.empty() for _ in range(hi - c0))
+            continue
+        with phase_timer("map.extension_dp"):
+            resc = collect_extension_dp_device(dp_pending)
+        cigars_all = None
+        if params.emit_cigars:
+            resc, cigars_all = resc
+        counts_list = [
+            len(p["glen"]) if p is not None else 0 for p in chunk_problems
+        ]
+        bounds = np.cumsum([0] + counts_list)
+        for b_local in range(hi - c0):
+            if chunk_problems[b_local] is None:
+                results.append(Alignments.empty())
+                continue
+            sl = slice(bounds[b_local], bounds[b_local + 1])
+            res_b = PairwiseAlignments(
+                resc.scores[sl], resc.matches[sl], resc.mismatches[sl],
+                resc.gaps[sl], resc.q_starts[sl], resc.q_ends[sl],
+                resc.t_starts[sl], resc.t_ends[sl],
+            )
+            b = c0 + b_local
+            results.append(
+                _alignments_from_extension(
+                    chunk_chains[b_local], res_b,
+                    chunk_problems[b_local]["t_lo"], chunk_problems[b_local]["glen"],
+                    gene_index, genomes[b], indexes[b], gene_names, params,
+                    cigars=cigars_all[sl] if cigars_all is not None else None,
+                )
+            )
     return results
