@@ -153,10 +153,26 @@ def _install_rammappy_stub() -> None:
     sys.modules["rammappy.fasta"] = fasta
 
 
+def _install_pyfgs_stub() -> None:
+    """Import-time stand-in for the pyfgs wheel (only needed so that
+    ``kaptive.bgc`` subpackage imports resolve; kernel tests never call it)."""
+    if "pyfgs" in sys.modules:
+        return
+    pyfgs = types.ModuleType("pyfgs")
+
+    class GeneFinder:  # pragma: no cover - never invoked by the oracle tests
+        def __init__(self, *a, **k):
+            raise RuntimeError("ref_oracle: pyfgs stub is import-only")
+
+    pyfgs.GeneFinder = pyfgs.TrainingInfo = GeneFinder  # type: ignore[attr-defined]
+    sys.modules["pyfgs"] = pyfgs
+
+
 def load_reference():
     """Install stubs and import the reference package from /root/reference."""
     _install_numba_stub()
     _install_rammappy_stub()
+    _install_pyfgs_stub()
     if str(REFERENCE_SRC) not in sys.path:
         sys.path.insert(0, str(REFERENCE_SRC))
     import kaptive  # noqa: F401

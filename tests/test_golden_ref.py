@@ -313,6 +313,37 @@ def _ref_json_default(o):
     raise TypeError(f"Cannot serialise {type(o)}")
 
 
+def test_pha4ge_row_bit_identical(db_and_truth):
+    """The PHA4GE genotyping-specification TSV must also match byte-for-byte
+    (version fields normalised — the reference reports 'unknown' when not
+    pip-installed, and the software-version column embeds it)."""
+    db, truth, rng = db_and_truth
+    fasta = make_genome_from_locus(rng, truth, "KL2", flank=6000, sub_rate=0.01)
+    our_result, ref_result = _both_results(db, _assemble(fasta, "pha4ge"))
+
+    from kaptive_tpu.serotyping.io import Pha4geRow
+
+    from ref_oracle import load_reference
+
+    load_reference()
+    from kaptive.serotyping.io import Pha4geRow as RefPha4geRow
+
+    def normalise(row: bytes, header: bytes) -> bytes:
+        cols = row.split(b"\t")
+        names = header.rstrip(b"\n").split(b"\t")
+        for i, name in enumerate(names):
+            if b"version" in name.lower():
+                cols[i] = b"<version>"
+        return b"\t".join(cols)
+
+    ours = normalise(bytes(Pha4geRow.from_result(our_result)), Pha4geRow.header())
+    theirs = normalise(
+        bytes(RefPha4geRow.from_result(ref_result)), RefPha4geRow.header()
+    )
+    assert Pha4geRow.header() == RefPha4geRow.header()
+    assert ours == theirs
+
+
 def test_batch_equals_single(db_and_truth):
     """Batched decisions must equal per-genome decisions (and hence the reference)."""
     from kaptive_tpu.serotyping import Serotyper
