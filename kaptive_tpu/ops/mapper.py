@@ -328,50 +328,8 @@ def _match_core(
     )
 
 
-# The scan's rolled full-genome temporaries are ~L*4 bytes each and XLA
-# materialises them; running the batch axis sequentially (lax.map) keeps peak
-# HBM at one genome's working set while each body still saturates the VPU.
-_scan_compact_batch = jax.jit(
-    lambda p, e, length, cap_mins, k, w: jax.lax.map(
-        lambda pe: _scan_compact_core(
-            pe[0], pe[1], length=length, cap_mins=cap_mins, k=k, w=w
-        ),
-        (p, e),
-    ),
-    static_argnums=(2, 3, 4, 5),
-)
-
 _ANCHOR_FIELDS = ("valid", "c_flat_pos", "c_strand", "g_idx", "g_pos", "g_strand")
 _COUNT_FIELDS = ("n_minimizers", "n_candidates", "n_anchors")
-
-
-def _pack_match_output(d: dict):
-    r"""Stack the per-field outputs into two device arrays so the host pays
-    two transfer round trips per batch instead of nine."""
-    anchors = jnp.stack([d[k].astype(jnp.int32) for k in _ANCHOR_FIELDS])  # (6, B, cap)
-    counts = jnp.stack([d[k].astype(jnp.int32) for k in _COUNT_FIELDS])  # (3, B)
-    return anchors, counts
-
-
-def unpack_scan_match(anchors: np.ndarray, counts: np.ndarray) -> dict:
-    out = {k: anchors[i] for i, k in enumerate(_ANCHOR_FIELDS)}
-    out["valid"] = out["valid"].astype(bool)
-    out |= {k: counts[i] for i, k in enumerate(_COUNT_FIELDS)}
-    return out
-
-
-_match_batch = jax.jit(
-    lambda pos, h, st, nm, th, tg, tp, ts, bs, rl, bw, length, cap_cand, cap_anchors, iters, max_occ: _pack_match_output(
-        jax.vmap(
-            lambda a, b, c, d: _match_core(
-                a, b, c, d, th, tg, tp, ts, bs, rl, bw,
-                length=length, cap_cand=cap_cand, cap_anchors=cap_anchors,
-                lookup_iters=iters, max_occ=max_occ,
-            )
-        )(pos, h, st, nm)
-    ),
-    static_argnums=(11, 12, 13, 14, 15),
-)
 
 
 # --- row-compact seeding path (Pallas scan kernel + gather-light match) ------
@@ -643,31 +601,6 @@ def _chain_batch_impl(
 _chain_batch = jax.jit(_chain_batch_impl, static_argnums=(4, 5, 6, 7))
 
 
-def scan_match_batch(
-    packed_batch, bits_batch, table_hashes, table_genes, table_pos, table_strands,
-    bucket_starts, run_len, bloom_words,
-    *, length: int, cap_mins: int, cap_cand: int = CANDIDATE_CAP,
-    cap_anchors: int = ANCHOR_CAP, lookup_iters: int,
-    max_occ: int = DEVICE_MAX_OCC, k: int = DEFAULT_K, w: int = DEFAULT_W,
-):
-    r"""Batched fused seeding for a whole assembly batch.
-
-    Runs as two chained jits (scan+compact, then filter+lookup+expand) —
-    device arrays flow between them with no host round-trip.  Keeping the
-    stages separate prevents XLA from fusing the full-length scan producer
-    into multiple consumers (which recomputes it and dominated runtime when
-    fused).
-    """
-    pos, h, st, nm = _scan_compact_batch(
-        packed_batch, bits_batch, length, cap_mins, k, w
-    )
-    return _match_batch(
-        pos, h, st, nm, table_hashes, table_genes, table_pos, table_strands,
-        bucket_starts, run_len, bloom_words,
-        length, cap_cand, cap_anchors, lookup_iters, max_occ,
-    )
-
-
 def _packed_inputs(contig_index) -> tuple[np.ndarray, np.ndarray, int]:
     r"""2-bit packed stream + bit-packed validity mask for device upload (cached)."""
     from kaptive_tpu.ops.minimizer import pack_2bit, pack_valid_bits
@@ -745,43 +678,6 @@ def _device_inputs_sparse(contig_index):
             p, e, r = sp
             contig_index._cache["dev_sparse"] = (jnp.asarray(p), jnp.asarray(e), r)
     return contig_index._cache["dev_sparse"]
-
-
-def find_anchors_device(gene_index: GeneIndex, contig_index, params: MapperParams):
-    r"""Device seeding path: returns the same anchor arrays as :func:`find_anchors`."""
-    packed, bits, L = _packed_inputs(contig_index)
-    th, tg, tp, ts = gene_index.device_table
-    bs, rl, iters = gene_index.device_lookup
-    cap_mins = max(L // MIN_DENSITY_CAP, 1024)
-    # Anchor capacity is decoupled from the minimizer capacity: typical anchor
-    # counts are 1e3-1e5 (locus region x homologous loci), and the transferred
-    # arrays scale with this cap — keep it tight, grow on overflow.
-    cap_anchors = ANCHOR_CAP
-    anchors_d, counts_d = scan_match_batch(
-        jnp.asarray(packed[None]), jnp.asarray(bits[None]), th, tg, tp, ts, bs, rl,
-        gene_index.device_bloom,
-        length=L, cap_mins=cap_mins, cap_anchors=cap_anchors, lookup_iters=iters,
-        max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
-    )
-    out = unpack_scan_match(np.asarray(anchors_d), np.asarray(counts_d))
-    out = {key: v[0] for key, v in out.items()}
-    if (
-        int(out["n_minimizers"]) > cap_mins
-        or int(out["n_candidates"]) > CANDIDATE_CAP
-        or int(out["n_anchors"]) > cap_anchors
-    ):
-        # Capacity overflow (pathological repeat content): fall back to host path.
-        return find_anchors(gene_index, contig_index.minimizers, params)
-
-    valid = out["valid"]
-    flat_pos = out["c_flat_pos"][valid]
-    # Map flat stream positions back to (contig, local position) on host.
-    c_idx = np.searchsorted(contig_index.starts, flat_pos, side="right").astype(np.int64) - 1
-    c_pos = flat_pos - contig_index.starts[c_idx]
-    g_idx = out["g_idx"][valid].astype(np.int64)
-    g_pos = out["g_pos"][valid].astype(np.int64)
-    rel_strand = np.where(out["g_strand"][valid] == out["c_strand"][valid], 1, -1).astype(np.int64)
-    return g_idx, g_pos, c_idx, c_pos, rel_strand
 
 
 def chain_anchors(

@@ -292,11 +292,17 @@ class Serotyper:
         import io
         import time
 
+        from kaptive_tpu.ops.mapper import SCAN_CHUNK
+
         t0 = time.perf_counter()
         self._precompile_dp_lattices()
         db = self._db
         rng = np.random.default_rng(seed)
         bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+        # The device stages run in fixed SCAN_CHUNK slices, so one chunk's
+        # worth of genomes compiles every program regardless of the
+        # production batch size.
+        batch_size = min(batch_size, SCAN_CHUNK)
         genomes = []
         for i in range(batch_size):
             li = i % max(len(db.loci), 1)
