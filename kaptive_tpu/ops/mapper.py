@@ -496,13 +496,6 @@ def _pack_match_rows_output(d: dict):
     return anchors, counts
 
 
-def unpack_match_rows(anchors: np.ndarray, counts: np.ndarray) -> dict:
-    out = {k: anchors[i] for i, k in enumerate(_ANCHOR_FIELDS)}
-    out["valid"] = out["valid"].astype(bool)
-    out |= {k: counts[i] for i, k in enumerate(_ROW_COUNT_FIELDS)}
-    return out
-
-
 _match_rows_batch = jax.jit(
     lambda h, a, c, th, tg, tp, ts, bs, rl, bw, cap_cand, cap_anchors, iters, max_occ: _pack_match_rows_output(
         jax.vmap(
@@ -1001,20 +994,6 @@ def _run_extension_dp(problems: dict, emit_cigars: bool = False, mesh=None, latt
         matrix=_NT_MATRIX, gap_open=NT_GAP_OPEN, gap_extend=NT_GAP_EXTEND,
         mesh=mesh, lattice=lattice,
     )
-
-
-def extend_chains(
-    chains: dict,
-    gene_index: GeneIndex,
-    contig_index: ContigIndex,
-    params: MapperParams,
-):
-    r"""Project chains to DP problems and run the batched banded SWG kernel."""
-    problems = build_extension_problems(chains, gene_index, contig_index, params)
-    if problems is None:
-        return None
-    res = _run_extension_dp(problems, lattice=params.lattice)
-    return res, problems["t_lo"], problems["glen"]
 
 
 def _alignments_from_extension(
