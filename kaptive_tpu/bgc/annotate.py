@@ -20,6 +20,7 @@ import numpy as np
 import numpy.typing as npt
 
 from kaptive_tpu.bgc.orf import find_orfs, recover_frameshifts, resolve_overlaps
+from kaptive_tpu.core.collections import SoAContainer, soa
 from kaptive_tpu.core.genome import GenomeAssembly
 from kaptive_tpu.core.interval import Intervals
 from kaptive_tpu.core.kmers import RandstrobeIndex, Seeds
@@ -29,15 +30,16 @@ from kaptive_tpu.db import Database
 
 
 @dataclass(slots=True, frozen=True)
-class Genes:
-    r"""SoA container of predicted genes: intervals, translations, contig indices."""
+class Genes(SoAContainer):
+    r"""SoA container of predicted genes: intervals, translations, contig indices.
 
-    intervals: Intervals
-    translations: Sequences
-    contig_indices: npt.NDArray[np.uint32]
+    Batch protocol derived by :class:`~kaptive_tpu.core.collections.SoAContainer`;
+    integer indexing yields an ``(interval, translation, contig_index)`` tuple.
+    """
 
-    def __len__(self) -> int:
-        return len(self.intervals)
+    intervals: Intervals = soa(Intervals, kind="container")
+    translations: Sequences = soa(Sequences, kind="container")
+    contig_indices: npt.NDArray[np.uint32] = soa(np.uint32)
 
     def __getitem__(self, item: int | slice | npt.NDArray[Any] | list[int]) -> Any:
         if isinstance(item, (int, np.integer)):
@@ -46,30 +48,8 @@ class Genes:
                 self.translations[item],
                 self.contig_indices[item],
             )
-        return Genes(
-            intervals=self.intervals[item],  # type: ignore[arg-type]
-            translations=self.translations[item],  # type: ignore[arg-type]
-            contig_indices=self.contig_indices[item],
-        )
-
-    @classmethod
-    def empty(cls) -> "Genes":
-        return cls(
-            intervals=Intervals.empty(),
-            translations=Sequences.empty(),
-            contig_indices=np.empty(0, dtype=np.uint32),
-        )
-
-    @classmethod
-    def concat(cls, batches: Iterable[Self]) -> Self:
-        batches_list = list(batches)
-        if not batches_list:
-            return cls.empty()  # type: ignore[return-value]
-        return cls(
-            intervals=Intervals.concat([b.intervals for b in batches_list]),
-            translations=Sequences.concat([b.translations for b in batches_list]),
-            contig_indices=np.concatenate([b.contig_indices for b in batches_list]),
-        )
+        # Explicit base call: slots=True dataclasses break zero-arg super().
+        return SoAContainer.__getitem__(self, item)
 
 
 @dataclass(slots=True)

@@ -23,7 +23,7 @@ from typing import Any, NamedTuple, Self
 import numpy as np
 import numpy.typing as npt
 
-from kaptive_tpu.core.collections import cumulative_offsets
+from kaptive_tpu.core.collections import SoAContainer, cumulative_offsets, soa
 from kaptive_tpu.core.interval import Intervals, Strand
 
 
@@ -185,32 +185,38 @@ class Alignment(NamedTuple):
 
 
 @dataclass(frozen=True, slots=True)
-class Alignments:
-    r"""Vectorised SoA batch of alignment records (PAF-like fields + CIGARs)."""
+class Alignments(SoAContainer):
+    r"""Vectorised SoA batch of alignment records (PAF-like fields + CIGARs).
 
-    q_name_ids: npt.NDArray[np.int32]
-    q_names_dict: tuple[str, ...]
-    q_lengths: npt.NDArray[np.int32]
-    q_starts: npt.NDArray[np.int32]
-    q_ends: npt.NDArray[np.int32]
-    t_name_ids: npt.NDArray[np.int32]
-    t_names_dict: tuple[str, ...]
-    t_lengths: npt.NDArray[np.int32]
-    t_starts: npt.NDArray[np.int32]
-    t_ends: npt.NDArray[np.int32]
-    strands: npt.NDArray[np.int8]
-    lengths: npt.NDArray[np.int32]
-    matches: npt.NDArray[np.int32]
-    mismatches: npt.NDArray[np.int32]
-    scores: npt.NDArray[np.int32]
-    qualities: npt.NDArray[np.uint8]
-    cigars: Cigars
-    is_primary: npt.NDArray[np.bool_]
-    is_supplementary: npt.NDArray[np.bool_]
-    is_spliced: npt.NDArray[np.bool_]
-    divergence: npt.NDArray[np.float64]
-    cs: npt.NDArray[np.object_]
-    md: npt.NDArray[np.object_]
+    Batch protocol derived by :class:`~kaptive_tpu.core.collections.SoAContainer`
+    (name vocabularies ride along as ``shared`` fields, CIGARs as a nested
+    container); integer indexing yields a scalar :class:`Alignment` view and
+    ``concat`` merges/remaps the vocabularies.
+    """
+
+    q_name_ids: npt.NDArray[np.int32] = soa(np.int32)
+    q_names_dict: tuple[str, ...] = soa((), kind="shared")
+    q_lengths: npt.NDArray[np.int32] = soa(np.int32)
+    q_starts: npt.NDArray[np.int32] = soa(np.int32)
+    q_ends: npt.NDArray[np.int32] = soa(np.int32)
+    t_name_ids: npt.NDArray[np.int32] = soa(np.int32)
+    t_names_dict: tuple[str, ...] = soa((), kind="shared")
+    t_lengths: npt.NDArray[np.int32] = soa(np.int32)
+    t_starts: npt.NDArray[np.int32] = soa(np.int32)
+    t_ends: npt.NDArray[np.int32] = soa(np.int32)
+    strands: npt.NDArray[np.int8] = soa(np.int8)
+    lengths: npt.NDArray[np.int32] = soa(np.int32)
+    matches: npt.NDArray[np.int32] = soa(np.int32)
+    mismatches: npt.NDArray[np.int32] = soa(np.int32)
+    scores: npt.NDArray[np.int32] = soa(np.int32)
+    qualities: npt.NDArray[np.uint8] = soa(np.uint8)
+    cigars: Cigars = soa(Cigars, kind="container")
+    is_primary: npt.NDArray[np.bool_] = soa(bool)
+    is_supplementary: npt.NDArray[np.bool_] = soa(bool)
+    is_spliced: npt.NDArray[np.bool_] = soa(bool)
+    divergence: npt.NDArray[np.float64] = soa(np.float64)
+    cs: npt.NDArray[np.object_] = soa(object)
+    md: npt.NDArray[np.object_] = soa(object)
 
     @property
     def q_names(self) -> npt.NDArray[np.object_]:
@@ -241,9 +247,6 @@ class Alignments:
             self.t_aln_lens, self.t_lengths,
             out=np.zeros_like(self.t_lengths, dtype=np.float64), where=self.t_lengths > 0,
         )
-
-    def __len__(self) -> int:
-        return len(self.q_starts)
 
     @classmethod
     def from_arrays(
@@ -309,51 +312,33 @@ class Alignments:
     def concat(cls, batches: Iterable[Alignments]) -> Self:
         batches_list = list(batches)
         if not batches_list:
-            raise ValueError("Cannot concatenate an empty iterable of batches")
+            return cls.empty()  # type: ignore[return-value]
 
+        # Name vocabularies merge by value with id remapping, overriding the
+        # mixin's equal-shared-values rule; array/container fields use the spec.
         kwargs: dict[str, Any] = {}
-        q_names_map: dict[str, int] = {}
-        q_names_list: list[str] = []
-        t_names_map: dict[str, int] = {}
-        t_names_list: list[str] = []
-        new_q_ids, new_t_ids = [], []
+        for side in ("q", "t"):
+            names_map: dict[str, int] = {}
+            names_list: list[str] = []
+            new_ids = []
+            for b in batches_list:
+                vocab = getattr(b, f"{side}_names_dict")
+                remap = np.empty(len(vocab), dtype=np.int32)
+                for i, name in enumerate(vocab):
+                    if name not in names_map:
+                        names_map[name] = len(names_list)
+                        names_list.append(name)
+                    remap[i] = names_map[name]
+                ids = getattr(b, f"{side}_name_ids")
+                new_ids.append(remap[ids] if len(ids) else ids)
+            kwargs[f"{side}_name_ids"] = np.concatenate(new_ids)
+            kwargs[f"{side}_names_dict"] = tuple(names_list)
 
-        for b in batches_list:
-            q_remap = np.empty(len(b.q_names_dict), dtype=np.int32)
-            for i, name in enumerate(b.q_names_dict):
-                if name not in q_names_map:
-                    q_names_map[name] = len(q_names_list)
-                    q_names_list.append(name)
-                q_remap[i] = q_names_map[name]
-            new_q_ids.append(q_remap[b.q_name_ids] if len(b.q_name_ids) else b.q_name_ids)
-
-            t_remap = np.empty(len(b.t_names_dict), dtype=np.int32)
-            for i, name in enumerate(b.t_names_dict):
-                if name not in t_names_map:
-                    t_names_map[name] = len(t_names_list)
-                    t_names_list.append(name)
-                t_remap[i] = t_names_map[name]
-            new_t_ids.append(t_remap[b.t_name_ids] if len(b.t_name_ids) else b.t_name_ids)
-
-        kwargs["q_name_ids"] = np.concatenate(new_q_ids)
-        kwargs["q_names_dict"] = tuple(q_names_list)
-        kwargs["t_name_ids"] = np.concatenate(new_t_ids)
-        kwargs["t_names_dict"] = tuple(t_names_list)
-
-        for field_name in cls.__dataclass_fields__:
-            if field_name in ("q_name_ids", "q_names_dict", "t_name_ids", "t_names_dict"):
+        for name, kind, fspec in cls._soa_spec()[0]:
+            if name in kwargs:
                 continue
-            if field_name == "cigars":
-                kwargs[field_name] = Cigars.concat([b.cigars for b in batches_list])
-                continue
-            first_val = getattr(batches_list[0], field_name)
-            if isinstance(first_val, np.ndarray):
-                kwargs[field_name] = np.concatenate([getattr(b, field_name) for b in batches_list])
-            else:
-                if any(getattr(b, field_name) != first_val for b in batches_list):
-                    raise ValueError(f"Cannot concatenate batches with mismatched '{field_name}' values")
-                kwargs[field_name] = first_val
-
+            vals = [getattr(b, name) for b in batches_list]
+            kwargs[name] = fspec.concat(vals) if kind == "container" else np.concatenate(vals)
         return cls(**kwargs)  # type: ignore[return-value]
 
     def __getitem__(self, item: int | slice | npt.NDArray[Any] | list[int]) -> Alignment | Alignments:
@@ -386,32 +371,8 @@ class Alignments:
                 cs=self.cs[item],
                 md=self.md[item],
             )
-
-        return Alignments(
-            q_name_ids=self.q_name_ids[item],
-            q_names_dict=self.q_names_dict,
-            q_lengths=self.q_lengths[item],
-            q_starts=self.q_starts[item],
-            q_ends=self.q_ends[item],
-            t_name_ids=self.t_name_ids[item],
-            t_names_dict=self.t_names_dict,
-            t_lengths=self.t_lengths[item],
-            t_starts=self.t_starts[item],
-            t_ends=self.t_ends[item],
-            strands=self.strands[item],
-            lengths=self.lengths[item],
-            matches=self.matches[item],
-            mismatches=self.mismatches[item],
-            scores=self.scores[item],
-            qualities=self.qualities[item],
-            cigars=self.cigars[item],  # type: ignore[arg-type]
-            is_primary=self.is_primary[item],
-            is_supplementary=self.is_supplementary[item],
-            is_spliced=self.is_spliced[item],
-            divergence=self.divergence[item],
-            cs=self.cs[item],
-            md=self.md[item],
-        )
+        # Explicit base call: slots=True dataclasses break zero-arg super().
+        return SoAContainer.__getitem__(self, item)
 
     def _rank_order(self, extra_primary_key: np.ndarray | None = None) -> npt.NDArray[np.int32]:
         r"""Visit order for selection/culling: score desc, then matches, then
@@ -480,34 +441,6 @@ class Alignments:
             values[qf], values[tf] = values[tf], values[qf]
         values["cigars"] = self.cigars.swap_sides()
         return Alignments(**values)
-
-    @classmethod
-    def empty(cls) -> Alignments:
-        return cls(
-            q_name_ids=np.empty(0, dtype=np.int32),
-            q_names_dict=(),
-            q_lengths=np.empty(0, dtype=np.int32),
-            q_starts=np.empty(0, dtype=np.int32),
-            q_ends=np.empty(0, dtype=np.int32),
-            t_name_ids=np.empty(0, dtype=np.int32),
-            t_names_dict=(),
-            t_lengths=np.empty(0, dtype=np.int32),
-            t_starts=np.empty(0, dtype=np.int32),
-            t_ends=np.empty(0, dtype=np.int32),
-            strands=np.empty(0, dtype=np.int8),
-            lengths=np.empty(0, dtype=np.int32),
-            matches=np.empty(0, dtype=np.int32),
-            mismatches=np.empty(0, dtype=np.int32),
-            scores=np.empty(0, dtype=np.int32),
-            qualities=np.empty(0, dtype=np.uint8),
-            cigars=Cigars.empty(),
-            is_primary=np.empty(0, dtype=bool),
-            is_supplementary=np.empty(0, dtype=bool),
-            is_spliced=np.empty(0, dtype=bool),
-            divergence=np.empty(0, dtype=np.float64),
-            cs=np.empty(0, dtype=object),
-            md=np.empty(0, dtype=object),
-        )
 
     def to_intervals(self, by_query: bool = False) -> Intervals:
         starts = self.q_starts if by_query else self.t_starts

@@ -8,6 +8,7 @@ container in kaptive-tpu; the device side exchanges only the flat arrays.
 
 from __future__ import annotations
 
+import dataclasses
 from collections.abc import Iterable
 from typing import Any, Protocol, Self, TypeVar
 
@@ -37,6 +38,158 @@ class RaggedArrayContainer(BatchedContainer[T, S], Protocol[T, S]):
 
     offsets: npt.NDArray[np.int32]
     lengths: npt.NDArray[np.int32]
+
+
+def as_bytes_array(val: Any) -> npt.NDArray[np.bytes_]:
+    r"""Encode strings/bytes to a fixed-width bytes array sized to the data.
+
+    Widths adapt to the data (the reference hardcodes S32/S10/S64 and silently
+    truncates long gene ids / cluster names / products).
+    """
+    if isinstance(val, np.ndarray) and val.dtype.kind in ("S", "a"):
+        return val
+    items = list(val) if not isinstance(val, np.ndarray) else val.tolist()
+    encoded = [x.encode("utf-8") if isinstance(x, str) else bytes(x) for x in items]
+    if not encoded:
+        return np.empty(0, dtype="S1")
+    return np.array(encoded, dtype=np.bytes_)
+
+
+def soa(spec: Any = None, *, kind: str = "array", default: Any = dataclasses.MISSING):
+    r"""Declare one field of a :class:`SoAContainer` dataclass.
+
+    ``kind`` selects the field's batch behaviour and ``spec`` parameterises it:
+
+    - ``"array"`` (default): a per-row numpy array; ``spec`` is its dtype.
+    - ``"bytes"``: a per-row fixed-width bytes array; construction coerces
+      str/bytes inputs via :func:`as_bytes_array`, ``to_dict`` decodes UTF-8.
+    - ``"container"``: a nested batched container; ``spec`` is its class
+      (indexed / concatenated / dict-round-tripped recursively).
+    - ``"shared"``: a batch-level value (a vocabulary tuple, a name) carried
+      through indexing unchanged; ``concat`` requires it equal across inputs;
+      ``spec`` is the value ``empty()`` uses.
+    """
+    kw: dict[str, Any] = {"metadata": {"soa_kind": kind, "soa_spec": spec}}
+    if default is not dataclasses.MISSING:
+        kw["default"] = default
+    return dataclasses.field(**kw)
+
+
+class SoAContainer:
+    r"""Mixin deriving the :class:`BatchedContainer` protocol from field metadata.
+
+    Dataclasses declare each field with :func:`soa`; the mixin derives
+    ``__len__``, ``__getitem__`` (int -> one-row view, slice/mask/index-array
+    -> sub-batch), ``empty``, ``concat``, ``to_dict`` and ``from_dict`` from
+    the declarations, so containers carry no per-field boilerplate.
+    Subclasses may still override any piece (e.g. a scalar record view for
+    integer indexing) and delegate the rest to the mixin.
+    """
+
+    __slots__ = ()
+
+    @classmethod
+    def _soa_spec(cls) -> tuple[tuple[tuple[str, str, Any], ...], tuple[tuple[str, Any], ...]]:
+        spec = cls.__dict__.get("_soa_spec_cache")
+        if spec is None:
+            rows: list[tuple[str, str, Any]] = []
+            shared: list[tuple[str, Any]] = []
+            for f in dataclasses.fields(cls):  # type: ignore[arg-type]
+                kind = f.metadata.get("soa_kind", "array")
+                fspec = f.metadata.get("soa_spec")
+                if kind == "shared":
+                    shared.append((f.name, fspec))
+                else:
+                    rows.append((f.name, kind, fspec))
+            spec = (tuple(rows), tuple(shared))
+            cls._soa_spec_cache = spec  # type: ignore[attr-defined]
+        return spec
+
+    def __post_init__(self) -> None:
+        for name, kind, _ in self._soa_spec()[0]:
+            if kind == "bytes":
+                val = getattr(self, name)
+                if not (isinstance(val, np.ndarray) and val.dtype.kind in ("S", "a")):
+                    object.__setattr__(self, name, as_bytes_array(val))
+
+    def __len__(self) -> int:
+        rows, _ = self._soa_spec()
+        return len(getattr(self, rows[0][0]))
+
+    def __getitem__(self, item: Any) -> Self:
+        if isinstance(item, (int, np.integer)):
+            n = len(self)
+            if item < 0:
+                item += n
+            if not 0 <= item < n:
+                raise IndexError("Batch index out of range")
+            item = slice(item, item + 1)
+        rows, shared = self._soa_spec()
+        kw = {name: getattr(self, name)[item] for name, _, _ in rows}
+        kw.update({name: getattr(self, name) for name, _ in shared})
+        return type(self)(**kw)
+
+    @classmethod
+    def empty(cls) -> Self:
+        rows, shared = cls._soa_spec()
+        kw: dict[str, Any] = {}
+        for name, kind, fspec in rows:
+            if kind == "container":
+                kw[name] = fspec.empty()
+            elif kind == "bytes":
+                kw[name] = np.empty(0, dtype=fspec if fspec is not None else "S1")
+            else:
+                kw[name] = np.empty(0, dtype=fspec)
+        kw.update({name: fspec for name, fspec in shared})
+        return cls(**kw)
+
+    @classmethod
+    def concat(cls, batches: Iterable[Self]) -> Self:
+        batches_list = list(batches)
+        if not batches_list:
+            return cls.empty()
+        rows, shared = cls._soa_spec()
+        kw: dict[str, Any] = {}
+        for name, kind, fspec in rows:
+            vals = [getattr(b, name) for b in batches_list]
+            kw[name] = fspec.concat(vals) if kind == "container" else np.concatenate(vals)
+        for name, _ in shared:
+            first = getattr(batches_list[0], name)
+            if any(getattr(b, name) != first for b in batches_list[1:]):
+                raise ValueError(
+                    f"Cannot concatenate batches with mismatched '{name}' values"
+                )
+            kw[name] = first
+        return cls(**kw)
+
+    def to_dict(self) -> dict[str, Any]:
+        rows, shared = self._soa_spec()
+        d: dict[str, Any] = {}
+        for name, kind, _ in rows:
+            val = getattr(self, name)
+            if kind == "bytes":
+                d[name] = np.char.decode(val, "utf-8").tolist()
+            elif kind == "container":
+                d[name] = val.to_dict()
+            else:
+                d[name] = val
+        d.update({name: getattr(self, name) for name, _ in shared})
+        return d
+
+    @classmethod
+    def from_dict(cls, data: dict[str, Any]) -> Self:
+        rows, shared = cls._soa_spec()
+        kw: dict[str, Any] = {}
+        for name, kind, fspec in rows:
+            val = data.get(name)
+            if kind == "container":
+                kw[name] = fspec.from_dict(val) if val is not None else fspec.empty()
+            elif kind == "bytes":
+                kw[name] = as_bytes_array(val if val is not None else [])
+            else:
+                kw[name] = np.array(val if val is not None else [], dtype=fspec)
+        kw.update({name: data.get(name, fspec) for name, fspec in shared})
+        return cls(**kw)
 
 
 def cumulative_offsets(lengths: npt.NDArray[np.integer]) -> npt.NDArray[np.int32]:

@@ -22,10 +22,12 @@ from collections.abc import Iterable
 from dataclasses import dataclass
 from enum import IntEnum
 from re import Match
-from typing import Any, Self
+from typing import Any
 
 import numpy as np
 import numpy.typing as npt
+
+from kaptive_tpu.core.collections import SoAContainer, soa
 
 
 class Strand(IntEnum):
@@ -158,26 +160,21 @@ def _segmentwise_shifted_cummax(values: npt.NDArray[np.int64], segment_starts: n
 
 
 @dataclass(frozen=True, slots=True)
-class Intervals:
-    r"""Vectorised SoA collection of genomic intervals (starts/ends/strands + tracking indices)."""
+class Intervals(SoAContainer):
+    r"""Vectorised SoA collection of genomic intervals (starts/ends/strands + tracking indices).
 
-    starts: npt.NDArray[np.int32]
-    ends: npt.NDArray[np.int32]
-    strands: npt.NDArray[np.int8]
-    original_indices: npt.NDArray[np.int32] | None = None
+    Batch protocol derived by :class:`~kaptive_tpu.core.collections.SoAContainer`;
+    integer indexing yields a scalar :class:`Interval` view.
+    """
+
+    starts: npt.NDArray[np.int32] = soa(np.int32)
+    ends: npt.NDArray[np.int32] = soa(np.int32)
+    strands: npt.NDArray[np.int8] = soa(np.int8)
+    original_indices: npt.NDArray[np.int32] = soa(np.int32, default=None)
 
     def __post_init__(self) -> None:
         if self.original_indices is None:
             object.__setattr__(self, "original_indices", np.arange(len(self.starts), dtype=np.int32))
-
-    @classmethod
-    def empty(cls) -> Intervals:
-        return cls(
-            np.empty(0, dtype=np.int32),
-            np.empty(0, dtype=np.int32),
-            np.empty(0, dtype=np.int8),
-            np.empty(0, dtype=np.int32),
-        )
 
     @classmethod
     def from_intervals(cls, intervals: Iterable[Interval]) -> Intervals:
@@ -190,9 +187,6 @@ class Intervals:
             np.array(end_vals, dtype=np.int32),
             np.array(strand_vals, dtype=np.int8),
         )
-
-    def __len__(self) -> int:
-        return len(self.starts)
 
     def to_dict(self) -> dict[str, list]:
         return {"starts": self.starts.tolist(), "ends": self.ends.tolist(), "strands": self.strands.tolist()}
@@ -212,26 +206,8 @@ class Intervals:
             if item < 0 or item >= len(self):
                 raise IndexError("Batch index out of range")
             return Interval(self.starts[item], self.ends[item], self.strands[item])
-        return Intervals(
-            self.starts[item],
-            self.ends[item],
-            self.strands[item],
-            self.original_indices[item] if self.original_indices is not None else None,
-        )
-
-    @classmethod
-    def concat(cls, batches: Iterable[Self]) -> Self:
-        batches_list = list(batches)
-        if not batches_list:
-            raise ValueError("Cannot concatenate empty list of batches")
-        return cls(
-            np.concatenate([b.starts for b in batches_list]),
-            np.concatenate([b.ends for b in batches_list]),
-            np.concatenate([b.strands for b in batches_list]),
-            np.concatenate([b.original_indices for b in batches_list])
-            if batches_list[0].original_indices is not None
-            else None,
-        )
+        # Explicit base call: slots=True dataclasses break zero-arg super().
+        return SoAContainer.__getitem__(self, item)
 
     def shift(self, x: int | npt.NDArray[np.int32], y: int | npt.NDArray[np.int32] | None = None) -> Intervals:
         if len(self) == 0:

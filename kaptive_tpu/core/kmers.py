@@ -26,7 +26,12 @@ from typing import Any, NamedTuple, Self
 import numpy as np
 import numpy.typing as npt
 
-from kaptive_tpu.core.collections import cumulative_offsets, ragged_gather_indices
+from kaptive_tpu.core.collections import (
+    SoAContainer,
+    cumulative_offsets,
+    ragged_gather_indices,
+    soa,
+)
 from kaptive_tpu.core.interval import Intervals
 from kaptive_tpu.core.seq import Sequences
 
@@ -46,16 +51,17 @@ class Seed(NamedTuple):
 
 
 @dataclass(frozen=True, slots=True)
-class Seeds:
-    r"""SoA batch of alignment seeds."""
+class Seeds(SoAContainer):
+    r"""SoA batch of alignment seeds.
 
-    query_indices: npt.NDArray[np.uint32]
-    target_indices: npt.NDArray[np.uint32]
-    scores: npt.NDArray[np.uint32]
-    offsets: npt.NDArray[np.int32]
+    Batch protocol derived by :class:`~kaptive_tpu.core.collections.SoAContainer`;
+    integer indexing yields a scalar :class:`Seed` view.
+    """
 
-    def __len__(self) -> int:
-        return len(self.query_indices)
+    query_indices: npt.NDArray[np.uint32] = soa(np.uint32)
+    target_indices: npt.NDArray[np.uint32] = soa(np.uint32)
+    scores: npt.NDArray[np.uint32] = soa(np.uint32)
+    offsets: npt.NDArray[np.int32] = soa(np.int32)
 
     def __getitem__(self, item: Any) -> Seed | Seeds:
         if isinstance(item, (int, np.integer)):
@@ -64,51 +70,13 @@ class Seeds:
             if item < 0 or item >= len(self):
                 raise IndexError("Batch index out of range")
             return Seed(
-                int(self.query_indices[item]),
-                int(self.target_indices[item]),
-                int(self.scores[item]),
-                int(self.offsets[item]),
+                *(int(getattr(self, name)[item]) for name, _, _ in self._soa_spec()[0])
             )
-        if isinstance(item, slice):
-            indices = np.arange(len(self))[item]
-        else:
-            item_arr = np.asarray(item)
-            indices = np.nonzero(item_arr)[0] if item_arr.dtype.kind == "b" else item_arr
-        return Seeds(
-            self.query_indices[indices],
-            self.target_indices[indices],
-            self.scores[indices],
-            self.offsets[indices],
-        )
-
-    @classmethod
-    def concat(cls, batches: Iterable[Self]) -> Self:
-        batches_list = list(batches)
-        if not batches_list:
-            return cls.empty()  # type: ignore[return-value]
-        return cls(
-            np.concatenate([b.query_indices for b in batches_list]),
-            np.concatenate([b.target_indices for b in batches_list]),
-            np.concatenate([b.scores for b in batches_list]),
-            np.concatenate([b.offsets for b in batches_list]),
-        )
-
-    @classmethod
-    def empty(cls) -> Seeds:
-        return cls(
-            np.empty(0, dtype=np.uint32),
-            np.empty(0, dtype=np.uint32),
-            np.empty(0, dtype=np.uint32),
-            np.empty(0, dtype=np.int32),
-        )
+        # Explicit base call: slots=True dataclasses break zero-arg super().
+        return SoAContainer.__getitem__(self, item)
 
     def filter(self, mask: npt.NDArray[np.bool_]) -> Seeds:
-        return Seeds(
-            self.query_indices[mask],
-            self.target_indices[mask],
-            self.scores[mask],
-            self.offsets[mask],
-        )
+        return self[np.asarray(mask)]
 
     def to_intervals(self, query_lengths: npt.NDArray[np.int32]) -> Intervals:
         t_starts = -self.offsets

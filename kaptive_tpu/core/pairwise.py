@@ -15,14 +15,14 @@ once and stays cached.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
 from dataclasses import dataclass
 from functools import cache
-from typing import Any, Self
+from typing import Any
 
 import numpy as np
 import numpy.typing as npt
 
+from kaptive_tpu.core.collections import SoAContainer, soa
 from kaptive_tpu.core.seq import Sequences
 
 
@@ -46,45 +46,21 @@ class PairwiseAlignment:
 
 
 @dataclass(frozen=True, slots=True)
-class PairwiseAlignments:
-    r"""SoA batch of pairwise alignment results."""
+class PairwiseAlignments(SoAContainer):
+    r"""SoA batch of pairwise alignment results.
 
-    scores: npt.NDArray[np.int32]
-    matches: npt.NDArray[np.int32]
-    mismatches: npt.NDArray[np.int32]
-    gaps: npt.NDArray[np.int32]
-    q_starts: npt.NDArray[np.int32]
-    q_ends: npt.NDArray[np.int32]
-    t_starts: npt.NDArray[np.int32]
-    t_ends: npt.NDArray[np.int32]
+    Batch protocol derived by :class:`~kaptive_tpu.core.collections.SoAContainer`;
+    integer indexing yields a scalar :class:`PairwiseAlignment` view.
+    """
 
-    def __len__(self) -> int:
-        return len(self.scores)
-
-    def to_dict(self) -> dict[str, npt.NDArray[np.int32]]:
-        return {
-            "scores": self.scores,
-            "matches": self.matches,
-            "mismatches": self.mismatches,
-            "gaps": self.gaps,
-            "q_starts": self.q_starts,
-            "q_ends": self.q_ends,
-            "t_starts": self.t_starts,
-            "t_ends": self.t_ends,
-        }
-
-    @classmethod
-    def from_dict(cls, d: dict[str, Any]) -> PairwiseAlignments:
-        return cls(
-            np.array(d["scores"], dtype=np.int32),
-            np.array(d["matches"], dtype=np.int32),
-            np.array(d["mismatches"], dtype=np.int32),
-            np.array(d["gaps"], dtype=np.int32),
-            np.array(d["q_starts"], dtype=np.int32),
-            np.array(d["q_ends"], dtype=np.int32),
-            np.array(d["t_starts"], dtype=np.int32),
-            np.array(d["t_ends"], dtype=np.int32),
-        )
+    scores: npt.NDArray[np.int32] = soa(np.int32)
+    matches: npt.NDArray[np.int32] = soa(np.int32)
+    mismatches: npt.NDArray[np.int32] = soa(np.int32)
+    gaps: npt.NDArray[np.int32] = soa(np.int32)
+    q_starts: npt.NDArray[np.int32] = soa(np.int32)
+    q_ends: npt.NDArray[np.int32] = soa(np.int32)
+    t_starts: npt.NDArray[np.int32] = soa(np.int32)
+    t_ends: npt.NDArray[np.int32] = soa(np.int32)
 
     def __getitem__(self, item: Any) -> PairwiseAlignment | PairwiseAlignments:
         if isinstance(item, (int, np.integer)):
@@ -93,46 +69,11 @@ class PairwiseAlignments:
             if item < 0 or item >= len(self):
                 raise IndexError("Batch index out of range")
             return PairwiseAlignment(
-                score=int(self.scores[item]),
-                matches=int(self.matches[item]),
-                mismatches=int(self.mismatches[item]),
-                gaps=int(self.gaps[item]),
-                q_start=int(self.q_starts[item]),
-                q_end=int(self.q_ends[item]),
-                t_start=int(self.t_starts[item]),
-                t_end=int(self.t_ends[item]),
+                *(int(getattr(self, name)[item]) for name, _, _ in self._soa_spec()[0])
             )
-        return PairwiseAlignments(
-            scores=self.scores[item],
-            matches=self.matches[item],
-            mismatches=self.mismatches[item],
-            gaps=self.gaps[item],
-            q_starts=self.q_starts[item],
-            q_ends=self.q_ends[item],
-            t_starts=self.t_starts[item],
-            t_ends=self.t_ends[item],
-        )
-
-    @classmethod
-    def empty(cls) -> PairwiseAlignments:
-        z = np.empty(0, dtype=np.int32)
-        return cls(z.copy(), z.copy(), z.copy(), z.copy(), z.copy(), z.copy(), z.copy(), z.copy())
-
-    @classmethod
-    def concat(cls, batches: Iterable[Self]) -> Self:
-        batches_list = list(batches)
-        if not batches_list:
-            return cls.empty()  # type: ignore[return-value]
-        return cls(
-            scores=np.concatenate([b.scores for b in batches_list]),
-            matches=np.concatenate([b.matches for b in batches_list]),
-            mismatches=np.concatenate([b.mismatches for b in batches_list]),
-            gaps=np.concatenate([b.gaps for b in batches_list]),
-            q_starts=np.concatenate([b.q_starts for b in batches_list]),
-            q_ends=np.concatenate([b.q_ends for b in batches_list]),
-            t_starts=np.concatenate([b.t_starts for b in batches_list]),
-            t_ends=np.concatenate([b.t_ends for b in batches_list]),
-        )
+        # Explicit base call: slots=True dataclasses recreate the class, which
+        # breaks zero-argument super() inside method bodies.
+        return SoAContainer.__getitem__(self, item)
 
     @property
     def pidents(self) -> npt.NDArray[np.float64]:
@@ -377,10 +318,15 @@ def batched_swg_align(
         # transfer instead of eight (each costs a tunnel round trip).
         launched.append((sel, len(sel), _stack_result(tuple(res))))
 
-    for sel, b, stacked in launched:
-        arr = np.asarray(stacked)
-        for i, field in enumerate(_RESULT_FIELDS):
-            out[field][sel] = arr[i, :b]
+    # ONE blocking fetch over every bucket: each per-bucket np.asarray used to
+    # pay a full work-queue wait on a shared tunneled chip.
+    if launched:
+        import jax
+
+        arrs = jax.device_get([stacked for _, _, stacked in launched])
+        for (sel, b, _), arr in zip(launched, arrs):
+            for i, field in enumerate(_RESULT_FIELDS):
+                out[field][sel] = arr[i, :b]
 
     return PairwiseAlignments(*(out[f] for f in _RESULT_FIELDS))
 

@@ -16,6 +16,8 @@ from typing import Any, Self
 import numpy as np
 import numpy.typing as npt
 
+from kaptive_tpu.core.collections import SoAContainer, soa
+
 
 class DatabaseError(Exception):
     r"""Raised for database loading, metadata validation, or format errors."""
@@ -90,32 +92,21 @@ class Phenotype:
 
 
 @dataclass(frozen=True, slots=True)
-class Phenotypes:
-    r"""SoA batch of phenotype rules for vectorised evaluation."""
+class Phenotypes(SoAContainer):
+    r"""SoA batch of phenotype rules for vectorised evaluation.
 
-    ids: npt.NDArray[np.bytes_]
-    locus_masks: npt.NDArray[np.bool_]
-    extra_masks: npt.NDArray[np.int8]
-    inactive_masks: npt.NDArray[np.int8]
-    extra_counts: npt.NDArray[np.int8]
-    priorities: npt.NDArray[np.int8]
-    as_suffix: npt.NDArray[np.bool_]
+    Batch protocol derived by :class:`~kaptive_tpu.core.collections.SoAContainer`
+    (mask matrices index along their rule axis); ``empty`` is overridden to
+    keep the 2-D mask shape.
+    """
 
-    def __len__(self) -> int:
-        return len(self.ids)
-
-    def __getitem__(self, item: Any) -> Phenotypes:
-        if isinstance(item, (int, np.integer)):
-            raise NotImplementedError("Single item access not implemented for Phenotypes")
-        return Phenotypes(
-            ids=self.ids[item],
-            locus_masks=self.locus_masks[item],
-            extra_masks=self.extra_masks[item],
-            inactive_masks=self.inactive_masks[item],
-            extra_counts=self.extra_counts[item],
-            priorities=self.priorities[item],
-            as_suffix=self.as_suffix[item],
-        )
+    ids: npt.NDArray[np.bytes_] = soa("S32", kind="bytes")
+    locus_masks: npt.NDArray[np.bool_] = soa(bool)
+    extra_masks: npt.NDArray[np.int8] = soa(np.int8)
+    inactive_masks: npt.NDArray[np.int8] = soa(np.int8)
+    extra_counts: npt.NDArray[np.int8] = soa(np.int8)
+    priorities: npt.NDArray[np.int8] = soa(np.int8)
+    as_suffix: npt.NDArray[np.bool_] = soa(bool)
 
     @classmethod
     def empty(cls) -> Phenotypes:
@@ -128,32 +119,6 @@ class Phenotypes:
             priorities=np.empty(0, dtype=np.int8),
             as_suffix=np.empty(0, dtype=bool),
         )
-
-    @classmethod
-    def concat(cls, batches: Iterable[Self]) -> Self:
-        batches = list(batches)
-        if not batches:
-            return cls.empty()  # type: ignore[return-value]
-        return cls(
-            ids=np.concatenate([b.ids for b in batches]),
-            locus_masks=np.concatenate([b.locus_masks for b in batches]),
-            extra_masks=np.concatenate([b.extra_masks for b in batches]),
-            inactive_masks=np.concatenate([b.inactive_masks for b in batches]),
-            extra_counts=np.concatenate([b.extra_counts for b in batches]),
-            priorities=np.concatenate([b.priorities for b in batches]),
-            as_suffix=np.concatenate([b.as_suffix for b in batches]),
-        )
-
-    def to_dict(self) -> dict:
-        return {
-            "ids": np.char.decode(self.ids, "utf-8").tolist(),
-            "locus_masks": self.locus_masks,
-            "extra_masks": self.extra_masks,
-            "inactive_masks": self.inactive_masks,
-            "extra_counts": self.extra_counts,
-            "priorities": self.priorities,
-            "as_suffix": self.as_suffix,
-        }
 
     @classmethod
     def from_dict(cls, data: dict) -> Phenotypes:

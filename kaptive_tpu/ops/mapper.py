@@ -511,6 +511,7 @@ _match_rows_batch = jax.jit(
 
 
 CHAIN_CAP = 4096  # per-genome chain capacity for the device chainer
+CHAIN_PREFIX = 512  # chain rows pulled in the batched D2H (full pull past this)
 SCAN_CHUNK = 8  # genomes per scan/match/chain dispatch (fixed: batch-size-proof shapes)
 
 _CHAIN_FIELDS = (
@@ -522,13 +523,18 @@ _CHAIN_FIELDS = (
 def _chain_core(
     anchors: dict, contig_starts, gene_lengths,
     *, k: int, cap_chains: int, max_diag_drift: int, max_anchor_gap: int,
+    min_anchors: int = 1,
 ):
     r"""Device single-linkage chaining (mirrors :func:`chain_anchors`).
 
     One multi-key sort + shifted compares + segment scatters over the 64K
     anchor buffer; emits fixed-capacity chain descriptor arrays so only
     ~``cap_chains`` rows ever cross the tunnel (the raw anchor buffer —
-    hundreds of times larger — stays device-resident).
+    hundreds of times larger — stays device-resident).  Chains below
+    ``min_anchors`` (mostly 1-anchor noise from random shared minimizers, the
+    bulk of all chains) are compacted out on device, so the live prefix the
+    host pulls stays small.  Returns ``(fields, n_chains_raw, n_kept)`` —
+    the raw count drives overflow detection, the kept count the host pull.
     """
     BIG = jnp.int32(0x7FFFFFFF)
     DROP = jnp.int32(0x40000000)
@@ -571,12 +577,27 @@ def _chain_core(
         q_min=seg_min(qs), q_max=seg_max(qs),
         d_min=seg_min(ds), d_max=seg_max(ds),
     )
-    return jnp.stack([out[f] for f in _CHAIN_FIELDS]), n_chains
+    # Compact qualifying chains to the front (unique-rank drop-scatter).
+    keep = out["count"] >= min_anchors
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    slot = jnp.where(keep, rank, DROP)
+
+    def compact(x):
+        return (
+            jnp.zeros(cap_chains, jnp.int32)
+            .at[slot].set(x, mode="drop", unique_indices=True)
+        )
+
+    return (
+        jnp.stack([compact(out[f]) for f in _CHAIN_FIELDS]),
+        n_chains,
+        keep.sum(),
+    )
 
 
 def _chain_batch_impl(
     anchors, counts, contig_starts, gene_lengths,
-    k, cap_chains, max_diag_drift, max_anchor_gap,
+    k, cap_chains, max_diag_drift, max_anchor_gap, min_anchors,
 ):
     def per_genome(anch, starts):
         d = {key: anch[i] for i, key in enumerate(_ANCHOR_FIELDS)}
@@ -585,13 +606,19 @@ def _chain_batch_impl(
             d, starts, gene_lengths,
             k=k, cap_chains=cap_chains,
             max_diag_drift=max_diag_drift, max_anchor_gap=max_anchor_gap,
+            min_anchors=min_anchors,
         )
 
-    chains, n_chains = jax.vmap(per_genome, in_axes=(1, 0))(anchors, contig_starts)
-    return chains, jnp.concatenate([counts, n_chains[None, :].astype(jnp.int32)], axis=0)
+    chains, n_chains, n_kept = jax.vmap(per_genome, in_axes=(1, 0))(
+        anchors, contig_starts
+    )
+    return chains, jnp.concatenate(
+        [counts, n_chains[None, :].astype(jnp.int32), n_kept[None, :].astype(jnp.int32)],
+        axis=0,
+    )
 
 
-_chain_batch = jax.jit(_chain_batch_impl, static_argnums=(4, 5, 6, 7))
+_chain_batch = jax.jit(_chain_batch_impl, static_argnums=(4, 5, 6, 7, 8))
 
 
 def _packed_inputs(contig_index) -> tuple[np.ndarray, np.ndarray, int]:
@@ -1178,7 +1205,10 @@ def map_genes_batch(
             pb, vb, _ = _packed_inputs(ci)
             packed[b, : len(pb)] = pb
             bits[b, : len(vb)] = vb
-        c_pad = 8
+        # Floor of 32 keeps the chain program's shape stable across contig
+        # counts up to 32 (draft assemblies routinely have dozens of contigs;
+        # every distinct width is a fresh compile on a tunneled chip).
+        c_pad = 32
         while c_pad < max(len(ci.starts) for ci in indexes):
             c_pad *= 2
         starts_pad = np.full((pad_to, c_pad), np.int32(0x7FFFFFFF), np.int32)
@@ -1193,6 +1223,7 @@ def map_genes_batch(
                 cap_chains=CHAIN_CAP,
                 max_diag_drift=params.max_diag_drift,
                 max_anchor_gap=params.max_anchor_gap,
+                min_anchors=params.min_anchors,
             )
             chains_np = chains_np[:n_genomes]
             out = {key2: v[:n_genomes] for key2, v in counts.items()}
@@ -1217,7 +1248,7 @@ def map_genes_batch(
             # chain compile — minutes on a tunneled chip).  All chunks are
             # dispatched before any result is pulled back, so their
             # executions and D2H transfers overlap.
-            c_pad = 8
+            c_pad = 32  # shape-stable up to 32 contigs (see the mesh path)
             while c_pad < max(len(ci.starts) for ci in indexes):
                 c_pad *= 2
             starts_pad = np.full((n_genomes, c_pad), np.int32(0x7FFFFFFF), np.int32)
@@ -1293,6 +1324,7 @@ def map_genes_batch(
                     gene_index.device_gene_lengths,
                     gene_index.k, CHAIN_CAP,
                     params.max_diag_drift, params.max_anchor_gap,
+                    params.min_anchors,
                 )
                 launched_chunks.append((chains_d, counts2_d, flat_c))
         # Per-chunk interleave: pull chunk c's chains and build+dispatch its
@@ -1338,10 +1370,8 @@ def map_genes_batch(
         else:
             _count("map.device_chained")
             arr = chains_np[b].astype(np.int64)
-            n_ch = int(out["n_chains"][b])
-            keep = (arr[_CHAIN_FIELDS.index("count")] >= params.min_anchors)
-            keep &= np.arange(arr.shape[-1]) < n_ch
-            chains = {f: arr[i][keep] for i, f in enumerate(_CHAIN_FIELDS)}
+            n_ch = int(out["n_kept"][b])  # device-compacted >= min_anchors prefix
+            chains = {f: arr[i][:n_ch] for i, f in enumerate(_CHAIN_FIELDS)}
         if not chains or len(chains["gene"]) == 0:
             all_chains.append(None)
             all_problems.append(None)
@@ -1416,14 +1446,49 @@ def map_genes_batch(
     return results
 
 
+def _fetch_dp_pendings(dp_pendings: list):
+    r"""ONE blocking ``device_get`` over every launched DP bucket of every
+    pending; returns pendings with device arrays replaced by numpy so a later
+    :func:`collect_extension_dp_device` never waits on the device.
+
+    The shared chip charges a work-queue wait per sync point, not per byte —
+    fetching every chunk's buckets in one call pays that wait once.
+    """
+    leaves = []
+    for p in dp_pendings:
+        if p is None:
+            continue
+        launched, _, _ = p
+        for _, _, stacked, cig in launched:
+            leaves.append(stacked)
+            if cig is not None:
+                leaves.extend(cig)
+    if not leaves:
+        return dp_pendings
+    vals = iter(jax.device_get(leaves))
+    out = []
+    for p in dp_pendings:
+        if p is None:
+            out.append(None)
+            continue
+        launched, n, emit = p
+        new_launched = []
+        for sel, b, _, cig in launched:
+            stacked_np = next(vals)
+            cig_np = tuple(next(vals) for _ in range(3)) if cig is not None else None
+            new_launched.append((sel, b, stacked_np, cig_np))
+        out.append((new_launched, n, emit))
+    return out
+
+
 def _finish_chunks_device(
     launched_chunks, indexes, genomes, gene_index: GeneIndex,
     gene_names, params: MapperParams, n_genomes: int, L: int,
 ) -> list[Alignments]:
-    r"""Single-device tail of :func:`map_genes_batch`: per-chunk pull ->
-    chains -> extension specs -> DP dispatch, interleaved so chunk ``c``'s
-    host work and DP dispatch overlap chunk ``c+1``'s device execution; all
-    DP sweeps collect at the end.
+    r"""Single-device tail of :func:`map_genes_batch`: one batched pull of
+    every chunk's counts + chain prefixes (ONE sync for the whole batch),
+    host chaining/spec-building per chunk, all extension-DP sweeps launched,
+    then one bulk fetch of every DP bucket (a second single sync).
     """
     from kaptive_tpu.core.pairwise import PairwiseAlignments
     from kaptive_tpu.ops.scan_pallas import PAD_POS
@@ -1431,23 +1496,33 @@ def _finish_chunks_device(
     from kaptive_tpu.utils.profiling import phase_timer
 
     lp = L + 2 * PAD_POS  # per-genome length within a chunk's flat stream
+    # ONE batched D2H for every chunk's counts and chain-row prefixes: each
+    # np.asarray sync used to cost a full work-queue wait (~0.3 s on a shared
+    # tunneled chip) and the old per-chunk protocol paid two per chunk.
+    with phase_timer("map.scan_sync"):
+        counts_all = jnp.stack([c for _, c, _ in launched_chunks])
+        prefix_all = jnp.stack(
+            [ch[:, :, :CHAIN_PREFIX] for ch, _, _ in launched_chunks]
+        )
+        counts_np_all, prefix_np_all = jax.device_get((counts_all, prefix_all))
+
     pendings = []
-    for c0, (chains_d, counts2_d, flat_c) in zip(
-        range(0, n_genomes, SCAN_CHUNK), launched_chunks
-    ):
+    for ci, c0 in enumerate(range(0, n_genomes, SCAN_CHUNK)):
+        chains_d, _, flat_c = launched_chunks[ci]
         hi = min(c0 + SCAN_CHUNK, n_genomes)
-        with phase_timer("map.scan_sync"):  # device completion + counts D2H
-            counts_np = np.asarray(counts2_d)  # (5, SCAN_CHUNK)
+        counts_np = counts_np_all[ci]  # (6, SCAN_CHUNK)
         out_c = {k2: counts_np[i] for i, k2 in enumerate(_ROW_COUNT_FIELDS)}
         out_c["n_chains"] = counts_np[len(_ROW_COUNT_FIELDS)]
-        # Chains D2H rides a ~30 MB/s tunnel: pull only the live prefix
-        # (typical chain counts are O(100); the 4096 cap is safety).
-        n_ch_max = int(out_c["n_chains"][: hi - c0].max(initial=0))
-        pull = CHAIN_CAP
-        if 0 <= n_ch_max <= CHAIN_CAP // 4:
-            pull = max(256, 1 << int(np.ceil(np.log2(max(n_ch_max, 1)))))
-        with phase_timer("map.scan_sync"):
-            chains_pull = np.asarray(chains_d[:, :, :pull])
+        out_c["n_kept"] = counts_np[len(_ROW_COUNT_FIELDS) + 1]
+        # Kept (>= min_anchors, device-compacted) chain counts beyond the
+        # prefix are rare — typical counts are O(100), CHAIN_PREFIX covers
+        # 5x that; pull that chunk's full buffer then.
+        n_ch_max = int(out_c["n_kept"][: hi - c0].max(initial=0))
+        chains_pull = prefix_np_all[ci]
+        if n_ch_max > CHAIN_PREFIX:
+            _count("map.chain_prefix_miss")
+            with phase_timer("map.scan_sync"):
+                chains_pull = np.asarray(chains_d)
 
         chunk_chains: list[dict | None] = []
         chunk_problems: list[dict | None] = []
@@ -1473,10 +1548,8 @@ def _finish_chunks_device(
                 else:
                     _count("map.device_chained")
                     arr = chains_pull[b_local].astype(np.int64)
-                    n_ch = int(out_c["n_chains"][b_local])
-                    keep = arr[_CHAIN_FIELDS.index("count")] >= params.min_anchors
-                    keep &= np.arange(arr.shape[-1]) < n_ch
-                    chains = {f: arr[i][keep] for i, f in enumerate(_CHAIN_FIELDS)}
+                    n_ch = int(out_c["n_kept"][b_local])  # device-compacted prefix
+                    chains = {f: arr[i][:n_ch] for i, f in enumerate(_CHAIN_FIELDS)}
                 if not chains or len(chains["gene"]) == 0:
                     chunk_chains.append(None)
                     chunk_problems.append(None)
@@ -1502,13 +1575,17 @@ def _finish_chunks_device(
                 )
         pendings.append((c0, hi, chunk_chains, chunk_problems, dp_pending))
 
+    # Bulk-fetch every chunk's DP buckets with one blocking call, then the
+    # per-chunk collection below is pure numpy bookkeeping.
+    with phase_timer("map.extension_dp"):
+        fetched = _fetch_dp_pendings([p[4] for p in pendings])
+
     results: list[Alignments] = []
-    for c0, hi, chunk_chains, chunk_problems, dp_pending in pendings:
+    for (c0, hi, chunk_chains, chunk_problems, _), dp_pending in zip(pendings, fetched):
         if dp_pending is None:
             results.extend(Alignments.empty() for _ in range(hi - c0))
             continue
-        with phase_timer("map.extension_dp"):
-            resc = collect_extension_dp_device(dp_pending)
+        resc = collect_extension_dp_device(dp_pending)
         cigars_all = None
         if params.emit_cigars:
             resc, cigars_all = resc

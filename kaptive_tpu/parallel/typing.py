@@ -133,6 +133,7 @@ def sharded_scan_match_chain(
     cap_chains: int,
     max_diag_drift: int,
     max_anchor_gap: int,
+    min_anchors: int = 1,
 ) -> tuple[np.ndarray, dict]:
     r"""Seeding stages + single-linkage chaining, all on the mesh.
 
@@ -165,7 +166,7 @@ def sharded_scan_match_chain(
             P("data", None), P(None),
         ),
         out_specs=(
-            P("data", None, None), P("data"),
+            P("data", None, None), P("data"), P("data"),
             P("data"), P("data"), P("data"),
         ),
         check_vma=False,
@@ -201,18 +202,19 @@ def sharded_scan_match_chain(
             return _chain_core(
                 d, starts, glen, k=k, cap_chains=cap_chains,
                 max_diag_drift=max_diag_drift, max_anchor_gap=max_anchor_gap,
+                min_anchors=min_anchors,
             )
 
-        chains, n_chains = jax.vmap(chain_one)(merged, starts_s)
+        chains, n_chains, n_kept = jax.vmap(chain_one)(merged, starts_s)
         return (
-            chains, n_chains.astype(jnp.int32),
+            chains, n_chains.astype(jnp.int32), n_kept.astype(jnp.int32),
             counts["n_minimizers"], counts["n_candidates"], counts["n_anchors"],
         )
 
     def put(x, spec):
         return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
 
-    chains_d, n_chains, n_mins, n_cand, n_anch = step(
+    chains_d, n_chains, n_kept, n_mins, n_cand, n_anch = step(
         put(packed, P("data", None)), put(bits, P("data", None)),
         put(table.hashes, P("model")), put(table.genes, P("model")),
         put(table.positions, P("model")), put(table.strands, P("model")),
@@ -227,6 +229,7 @@ def sharded_scan_match_chain(
         "n_candidates": np.asarray(n_cand),
         "n_anchors": np.asarray(n_anch),
         "n_chains": np.asarray(n_chains),
+        "n_kept": np.asarray(n_kept),
     }
     return np.asarray(chains_d), counts
 

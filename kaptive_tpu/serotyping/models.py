@@ -10,30 +10,19 @@ lossless dict round-trip (:560-654).
 
 from __future__ import annotations
 
-from collections.abc import Iterable
 from dataclasses import dataclass, field
 from enum import IntEnum, IntFlag, auto
-from typing import TYPE_CHECKING, Any, ClassVar, Self
+from typing import TYPE_CHECKING, Any, ClassVar
 
 import numpy as np
 import numpy.typing as npt
 
+from kaptive_tpu.core.collections import SoAContainer, soa
 from kaptive_tpu.core.interval import Intervals
 from kaptive_tpu.core.seq import Sequences
 
 if TYPE_CHECKING:
     from kaptive_tpu.compare import LocusData
-
-
-def _as_bytes_array(val: Any) -> npt.NDArray[np.bytes_]:
-    r"""Encode strings/bytes to a fixed-width bytes array sized to the data."""
-    if isinstance(val, np.ndarray) and val.dtype.kind in ("S", "a"):
-        return val
-    items = list(val) if not isinstance(val, np.ndarray) else val.tolist()
-    encoded = [x.encode("utf-8") if isinstance(x, str) else bytes(x) for x in items]
-    if not encoded:
-        return np.empty(0, dtype="S1")
-    return np.array(encoded, dtype=np.bytes_)
 
 
 class GeneState(IntEnum):
@@ -75,103 +64,30 @@ SerotypingProblem.SYMBOLS = tuple(
 
 
 @dataclass(slots=True, frozen=True)
-class GeneHits:
-    r"""SoA container of classified gene alignments against the assembly."""
+class GeneHits(SoAContainer):
+    r"""SoA container of classified gene alignments against the assembly.
 
-    gene_indices: npt.NDArray[np.int32]
-    q_starts: npt.NDArray[np.int32]
-    q_ends: npt.NDArray[np.int32]
-    t_indices: npt.NDArray[np.uint32]
-    t_starts: npt.NDArray[np.int32]
-    t_ends: npt.NDArray[np.int32]
-    strands: npt.NDArray[np.int8]
-    is_expected: npt.NDArray[np.bool_]
-    is_inside: npt.NDArray[np.bool_]
-    is_extra: npt.NDArray[np.bool_]
-    expected_positions: npt.NDArray[np.int32]
-    expected_strands: npt.NDArray[np.int8]
-    gene_ids: npt.NDArray[np.bytes_]
-    cluster_names: npt.NDArray[np.bytes_]
-    product_descriptions: npt.NDArray[np.bytes_]
-    coverages: npt.NDArray[np.float32]
+    Batch protocol (len/getitem/empty/concat/dict round-trip) is derived from
+    the :func:`~kaptive_tpu.core.collections.soa` field declarations; ``bytes``
+    fields coerce str inputs to width-fitted bytes arrays on construction.
+    """
 
-    def __post_init__(self) -> None:
-        # Coerce string-ish inputs to width-fitted bytes arrays.  Widths adapt
-        # to the data (the reference hardcodes S32/S10/S64, silently truncating
-        # long gene ids / cluster names / products — ref ``models.py:96-364``).
-        for field_name in ("gene_ids", "cluster_names", "product_descriptions"):
-            val = getattr(self, field_name)
-            if isinstance(val, np.ndarray) and val.dtype.kind in ("S", "a"):
-                continue
-            object.__setattr__(self, field_name, _as_bytes_array(val))
-
-    @classmethod
-    def empty(cls) -> GeneHits:
-        return cls(
-            np.empty(0, dtype=np.int32),
-            np.empty(0, dtype=np.int32),
-            np.empty(0, dtype=np.int32),
-            np.empty(0, dtype=np.uint32),
-            np.empty(0, dtype=np.int32),
-            np.empty(0, dtype=np.int32),
-            np.empty(0, dtype=np.int8),
-            np.empty(0, dtype=bool),
-            np.empty(0, dtype=bool),
-            np.empty(0, dtype=bool),
-            np.empty(0, dtype=np.int32),
-            np.empty(0, dtype=np.int8),
-            np.empty(0, dtype="S32"),
-            np.empty(0, dtype="S10"),
-            np.empty(0, dtype="S64"),
-            np.empty(0, dtype=np.float32),
-        )
-
-    @classmethod
-    def concat(cls, batches: Iterable[Self]) -> Self:
-        batches_list = list(batches)
-        if not batches_list:
-            return cls.empty()  # type: ignore[return-value]
-        return cls(
-            gene_indices=np.concatenate([b.gene_indices for b in batches_list]),
-            q_starts=np.concatenate([b.q_starts for b in batches_list]),
-            q_ends=np.concatenate([b.q_ends for b in batches_list]),
-            t_indices=np.concatenate([b.t_indices for b in batches_list]),
-            t_starts=np.concatenate([b.t_starts for b in batches_list]),
-            t_ends=np.concatenate([b.t_ends for b in batches_list]),
-            strands=np.concatenate([b.strands for b in batches_list]),
-            is_expected=np.concatenate([b.is_expected for b in batches_list]),
-            is_inside=np.concatenate([b.is_inside for b in batches_list]),
-            is_extra=np.concatenate([b.is_extra for b in batches_list]),
-            expected_positions=np.concatenate([b.expected_positions for b in batches_list]),
-            expected_strands=np.concatenate([b.expected_strands for b in batches_list]),
-            gene_ids=np.concatenate([b.gene_ids for b in batches_list]),
-            cluster_names=np.concatenate([b.cluster_names for b in batches_list]),
-            product_descriptions=np.concatenate([b.product_descriptions for b in batches_list]),
-            coverages=np.concatenate([b.coverages for b in batches_list]),
-        )
-
-    def __len__(self) -> int:
-        return len(self.gene_indices)
-
-    def __getitem__(self, item: Any) -> GeneHits:
-        return GeneHits(
-            gene_indices=self.gene_indices[item],
-            q_starts=self.q_starts[item],
-            q_ends=self.q_ends[item],
-            t_indices=self.t_indices[item],
-            t_starts=self.t_starts[item],
-            t_ends=self.t_ends[item],
-            strands=self.strands[item],
-            is_expected=self.is_expected[item],
-            is_inside=self.is_inside[item],
-            is_extra=self.is_extra[item],
-            expected_positions=self.expected_positions[item],
-            expected_strands=self.expected_strands[item],
-            gene_ids=self.gene_ids[item],
-            cluster_names=self.cluster_names[item],
-            product_descriptions=self.product_descriptions[item],
-            coverages=self.coverages[item],
-        )
+    gene_indices: npt.NDArray[np.int32] = soa(np.int32)
+    q_starts: npt.NDArray[np.int32] = soa(np.int32)
+    q_ends: npt.NDArray[np.int32] = soa(np.int32)
+    t_indices: npt.NDArray[np.uint32] = soa(np.uint32)
+    t_starts: npt.NDArray[np.int32] = soa(np.int32)
+    t_ends: npt.NDArray[np.int32] = soa(np.int32)
+    strands: npt.NDArray[np.int8] = soa(np.int8)
+    is_expected: npt.NDArray[np.bool_] = soa(bool)
+    is_inside: npt.NDArray[np.bool_] = soa(bool)
+    is_extra: npt.NDArray[np.bool_] = soa(bool)
+    expected_positions: npt.NDArray[np.int32] = soa(np.int32)
+    expected_strands: npt.NDArray[np.int8] = soa(np.int8)
+    gene_ids: npt.NDArray[np.bytes_] = soa(kind="bytes")
+    cluster_names: npt.NDArray[np.bytes_] = soa(kind="bytes")
+    product_descriptions: npt.NDArray[np.bytes_] = soa(kind="bytes")
+    coverages: npt.NDArray[np.float32] = soa(np.float32)
 
     @property
     def frames(self) -> npt.NDArray[np.int32]:
@@ -194,101 +110,15 @@ class GeneHits:
     def t_intervals(self) -> Intervals:
         return Intervals(self.t_starts, self.t_ends, self.strands)
 
-    @classmethod
-    def from_dict(cls, data: dict[str, Any]) -> GeneHits:
-        def _to_bytes_array(val: Any, _unused: str = "") -> npt.NDArray[np.bytes_]:
-            if val is None:
-                return np.empty(0, dtype="S1")
-            return _as_bytes_array(val)
-
-        return cls(
-            gene_indices=np.array(data["gene_indices"], dtype=np.int32),
-            q_starts=np.array(data["q_starts"], dtype=np.int32),
-            q_ends=np.array(data["q_ends"], dtype=np.int32),
-            t_indices=np.array(data["t_indices"], dtype=np.uint32),
-            t_starts=np.array(data["t_starts"], dtype=np.int32),
-            t_ends=np.array(data["t_ends"], dtype=np.int32),
-            strands=np.array(data["strands"], dtype=np.int8),
-            is_expected=np.array(data["is_expected"], dtype=bool),
-            is_inside=np.array(data["is_inside"], dtype=bool),
-            is_extra=np.array(data["is_extra"], dtype=bool),
-            expected_positions=np.array(data.get("expected_positions", []), dtype=np.int32),
-            expected_strands=np.array(data.get("expected_strands", []), dtype=np.int8),
-            gene_ids=_to_bytes_array(data.get("gene_ids", []), "S32"),
-            cluster_names=_to_bytes_array(data.get("cluster_names", []), "S10"),
-            product_descriptions=_to_bytes_array(data.get("product_descriptions", []), "S64"),
-            coverages=np.array(data.get("coverages", []), dtype=np.float32),
-        )
-
-    def to_dict(self) -> dict[str, Any]:
-        d = {
-            k: getattr(self, k)
-            for k in (
-                "gene_indices", "q_starts", "q_ends", "t_indices", "t_starts", "t_ends",
-                "strands", "is_expected", "is_inside", "is_extra",
-                "expected_positions", "expected_strands", "coverages",
-            )
-        }
-        d["gene_ids"] = np.char.decode(self.gene_ids, "utf-8").tolist()
-        d["cluster_names"] = np.char.decode(self.cluster_names, "utf-8").tolist()
-        d["product_descriptions"] = np.char.decode(self.product_descriptions, "utf-8").tolist()
-        return d
-
 
 @dataclass(slots=True, frozen=True)
-class LocusPieces:
+class LocusPieces(SoAContainer):
     r"""SoA container of locus fragment bounding coordinates across contigs."""
 
-    ctg_indices: npt.NDArray[np.uint32]
-    starts: npt.NDArray[np.int32]
-    ends: npt.NDArray[np.int32]
-    strands: npt.NDArray[np.int8]
-
-    def __len__(self) -> int:
-        return len(self.ctg_indices)
-
-    def __getitem__(self, item: int | slice | npt.NDArray[Any] | list[int]) -> "Any | LocusPieces":
-        if isinstance(item, (int, np.integer)):
-            raise NotImplementedError("Single item access not implemented for LocusPieces")
-        return LocusPieces(
-            ctg_indices=self.ctg_indices[item],
-            starts=self.starts[item],
-            ends=self.ends[item],
-            strands=self.strands[item],
-        )
-
-    @classmethod
-    def concat(cls, batches: Iterable[Self]) -> Self:
-        batches_list = list(batches)
-        if not batches_list:
-            return cls.empty()  # type: ignore[return-value]
-        return cls(
-            ctg_indices=np.concatenate([b.ctg_indices for b in batches_list]),
-            starts=np.concatenate([b.starts for b in batches_list]),
-            ends=np.concatenate([b.ends for b in batches_list]),
-            strands=np.concatenate([b.strands for b in batches_list]),
-        )
-
-    @classmethod
-    def empty(cls) -> LocusPieces:
-        return cls(
-            np.empty(0, dtype=np.uint32),
-            np.empty(0, dtype=np.int32),
-            np.empty(0, dtype=np.int32),
-            np.empty(0, dtype=np.int8),
-        )
-
-    @classmethod
-    def from_dict(cls, data: dict[str, Any]) -> LocusPieces:
-        return cls(
-            ctg_indices=np.array(data["ctg_indices"], dtype=np.uint32),
-            starts=np.array(data["starts"], dtype=np.int32),
-            ends=np.array(data["ends"], dtype=np.int32),
-            strands=np.array(data["strands"], dtype=np.int8),
-        )
-
-    def to_dict(self) -> dict[str, Any]:
-        return {k: getattr(self, k) for k in ("ctg_indices", "starts", "ends", "strands")}
+    ctg_indices: npt.NDArray[np.uint32] = soa(np.uint32)
+    starts: npt.NDArray[np.int32] = soa(np.int32)
+    ends: npt.NDArray[np.int32] = soa(np.int32)
+    strands: npt.NDArray[np.int8] = soa(np.int8)
 
 
 @dataclass(slots=True, frozen=True)
@@ -352,33 +182,27 @@ class SerotypingResult:
                 flags |= flag
         return flags
 
+    # Field groups driving the dict round-trip (the schema itself must match
+    # the reference record for JSONL interchange, ref ``models.py:560-654``).
+    _SCALAR_FIELDS: ClassVar[tuple[str, ...]] = (
+        "kaptive_version", "database_name", "database_version",
+        "database_organism", "database_taxon", "genome", "best_locus_idx",
+        "best_locus_name", "best_locus_score", "best_locus_completeness",
+        "length_discrepancy", "percent_identity", "percent_coverage",
+        "phenotype", "typeable",
+    )
+    _SEQ_FIELDS: ClassVar[tuple[str, ...]] = ("locus_seqs", "gene_seqs", "translations")
+
     @classmethod
     def from_dict(cls, data: dict[str, Any]) -> SerotypingResult:
-        return cls(
-            kaptive_version=data["kaptive_version"],
-            database_name=data["database_name"],
-            database_version=data["database_version"],
-            database_organism=data["database_organism"],
-            database_taxon=data["database_taxon"],
-            genome=data["genome"],
-            best_locus_idx=data["best_locus_idx"],
-            best_locus_name=data["best_locus_name"],
-            best_locus_score=data["best_locus_score"],
-            best_locus_completeness=data["best_locus_completeness"],
-            length_discrepancy=data["length_discrepancy"],
-            locus_pieces=LocusPieces.from_dict(data["locus_pieces"]),
-            gene_hits=GeneHits.from_dict(data["gene_hits"]),
-            gene_states=np.array(data["gene_states"], dtype=np.int8),
-            percent_identity=data["percent_identity"],
-            percent_coverage=data["percent_coverage"],
-            phenotype=data["phenotype"],
-            typeable=data["typeable"],
-            missing_expected_genes=tuple(data.get("missing_expected_genes", [])),
-            locus_seqs=Sequences.from_dict(data["locus_seqs"]),
-            gene_seqs=Sequences.from_dict(data["gene_seqs"]),
-            translations=Sequences.from_dict(data["translations"]),
-            protein_identities=np.array(data["protein_identities"], dtype=np.float32),
-        )
+        kw: dict[str, Any] = {name: data[name] for name in cls._SCALAR_FIELDS}
+        kw["missing_expected_genes"] = tuple(data.get("missing_expected_genes", []))
+        kw["gene_states"] = np.array(data["gene_states"], dtype=np.int8)
+        kw["protein_identities"] = np.array(data["protein_identities"], dtype=np.float32)
+        kw["locus_pieces"] = LocusPieces.from_dict(data["locus_pieces"])
+        kw["gene_hits"] = GeneHits.from_dict(data["gene_hits"])
+        kw.update({name: Sequences.from_dict(data[name]) for name in cls._SEQ_FIELDS})
+        return cls(**kw)
 
     def to_locus_data(self) -> "LocusData":
         from kaptive_tpu.compare import LocusData
@@ -399,29 +223,12 @@ class SerotypingResult:
         )
 
     def to_dict(self) -> dict[str, Any]:
-        return {
-            "kaptive_version": self.kaptive_version,
-            "database_name": self.database_name,
-            "database_version": self.database_version,
-            "database_organism": self.database_organism,
-            "database_taxon": self.database_taxon,
-            "genome": self.genome,
-            "best_locus_idx": self.best_locus_idx,
-            "best_locus_name": self.best_locus_name,
-            "best_locus_score": self.best_locus_score,
-            "best_locus_completeness": self.best_locus_completeness,
-            "length_discrepancy": self.length_discrepancy,
-            "percent_identity": self.percent_identity,
-            "percent_coverage": self.percent_coverage,
-            "phenotype": self.phenotype,
-            "typeable": self.typeable,
-            "missing_expected_genes": self.missing_expected_genes,
-            "problems": self.problems,
-            "locus_pieces": self.locus_pieces.to_dict(),
-            "gene_hits": self.gene_hits.to_dict(),
-            "gene_states": self.gene_states,
-            "protein_identities": self.protein_identities,
-            "locus_seqs": self.locus_seqs.to_dict(),
-            "gene_seqs": self.gene_seqs.to_dict(),
-            "translations": self.translations.to_dict(),
-        }
+        d: dict[str, Any] = {name: getattr(self, name) for name in self._SCALAR_FIELDS}
+        d["missing_expected_genes"] = self.missing_expected_genes
+        d["problems"] = self.problems
+        d["locus_pieces"] = self.locus_pieces.to_dict()
+        d["gene_hits"] = self.gene_hits.to_dict()
+        d["gene_states"] = self.gene_states
+        d["protein_identities"] = self.protein_identities
+        d.update({name: getattr(self, name).to_dict() for name in self._SEQ_FIELDS})
+        return d

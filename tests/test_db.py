@@ -132,9 +132,14 @@ def test_phenotypes_container():
     ph = Phenotypes.empty()
     assert len(ph) == 0
     assert len(Phenotypes.concat([])) == 0
-    with pytest.raises(NotImplementedError):
-        Phenotypes(
-            np.array([b"a"], dtype="S32"), np.zeros((1, 1), bool), np.zeros((1, 1), np.int8),
-            np.zeros((1, 1), np.int8), np.zeros(1, np.int8), np.zeros(1, np.int8),
-            np.zeros(1, bool),
-        )[0]
+    one = Phenotypes(
+        np.array([b"a"], dtype="S32"), np.zeros((1, 1), bool), np.zeros((1, 1), np.int8),
+        np.zeros((1, 1), np.int8), np.zeros(1, np.int8), np.zeros(1, np.int8),
+        np.zeros(1, bool),
+    )
+    # Integer indexing yields a one-row view (uniform SoAContainer semantics).
+    row = one[0]
+    assert isinstance(row, Phenotypes) and len(row) == 1
+    assert row.locus_masks.shape == (1, 1)
+    with pytest.raises(IndexError):
+        one[3]

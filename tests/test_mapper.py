@@ -256,14 +256,13 @@ def test_device_match_chain_parity_with_host(rng):
     chains_d, counts2 = _chain_batch(
         anchors_d, counts_d, jnp.asarray(starts_pad), gidx.device_gene_lengths,
         gidx.k, CHAIN_CAP, params.max_diag_drift, params.max_anchor_gap,
+        params.min_anchors,
     )
     counts2 = np.asarray(counts2)
     assert int(counts2[3, 0]) == 0, "unexpected row overflow"
-    n_ch = int(counts2[4, 0])
+    n_kept = int(counts2[5, 0])  # device-compacted >= min_anchors prefix
     arr = np.asarray(chains_d)[0].astype(np.int64)
-    keep = (arr[_CHAIN_FIELDS.index("count")] >= params.min_anchors)
-    keep &= np.arange(CHAIN_CAP) < n_ch
-    dev = {f: arr[i][keep] for i, f in enumerate(_CHAIN_FIELDS)}
+    dev = {f: arr[i][:n_kept] for i, f in enumerate(_CHAIN_FIELDS)}
 
     def chain_set(ch):
         return {
