@@ -149,7 +149,10 @@ class DatabaseManager:
         branch: str = "main",
         local_meta: DatabaseMetadata | None = None,
     ) -> tuple[str, bytes, bytes] | None:
-        base_url = f"https://raw.githubusercontent.com/{owner}/{repo_name}/{branch}"
+        # $KAPTIVE_DB_RAW_BASE points the fetcher at a mirror (or, in tests,
+        # a localhost HTTP server) instead of GitHub raw.
+        raw_base = os.environ.get("KAPTIVE_DB_RAW_BASE", "https://raw.githubusercontent.com")
+        base_url = f"{raw_base}/{owner}/{repo_name}/{branch}"
         toml_url = f"{base_url}/{db_name}.toml"
         gbk_url = f"{base_url}/{db_name}.gbk"
 

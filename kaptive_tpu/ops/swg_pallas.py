@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF_I32 = -1_000_000_000
-PAIRS = 8  # pairs per block: fills the 8 VPU sublanes
+PAIRS = 8  # minimum pairs per block (one full 8-sublane vreg)
 ROW_TILE = 64  # DP rows unrolled per grid step
 MAX_T_CLASSES = 32  # masked-add budget for score reconstruction
 MAX_Q_CLASSES = 64  # one-hot matmul budget for the query profile
@@ -111,13 +111,14 @@ def _swg_fill_kernel(
     gap_open: int,
     gap_extend: int,
     n_col: int,
+    pairs: int,
 ):
     r_blk = pl.program_id(1)
     k_pad = (w_pad - 3) // 2
     neg = jnp.int32(NEG_INF_I32)
     goe = jnp.int32(gap_open + gap_extend)
     ge = jnp.int32(gap_extend)
-    dm = jax.lax.broadcasted_iota(jnp.int32, (PAIRS, w_pad), 1)
+    dm = jax.lax.broadcasted_iota(jnp.int32, (pairs, w_pad), 1)
 
     l1 = l1_ref[...]
     l2 = l2_ref[...]
@@ -125,7 +126,7 @@ def _swg_fill_kernel(
     kl = kl_ref[...]
     cols = l2 + 1
 
-    neg_band = jnp.full((PAIRS, w_pad), NEG_INF_I32, dtype=jnp.int32)
+    neg_band = jnp.full((pairs, w_pad), NEG_INF_I32, dtype=jnp.int32)
 
     def shift_left1(x):  # x[dm] <- x[dm+1], last lane -> NEG_INF
         return jnp.where(dm <= w_pad - 2, jnp.roll(x, -1, axis=1), neg)
@@ -140,9 +141,9 @@ def _swg_fill_kernel(
         in_pad0 = (jnp.abs(dm - (k_pad + 1)) <= kl + 1) & (j0 >= 0) & (j0 < cols)
         m_scr[...] = jnp.where(in_pad0, 0, neg)
         d_scr[...] = neg_band
-        best_scr[...] = jnp.zeros((PAIRS, 1), jnp.int32)
-        bi_scr[...] = jnp.zeros((PAIRS, 1), jnp.int32)
-        bj_scr[...] = jnp.zeros((PAIRS, 1), jnp.int32)
+        best_scr[...] = jnp.zeros((pairs, 1), jnp.int32)
+        bi_scr[...] = jnp.zeros((pairs, 1), jnp.int32)
+        bj_scr[...] = jnp.zeros((pairs, 1), jnp.int32)
 
     m_prev = m_scr[...]
     d_prev = d_scr[...]
@@ -169,7 +170,7 @@ def _swg_fill_kernel(
         # Substitution scores: masked adds over the compressed target alphabet.
         twin = tcat[:, rr : rr + w_pad]
         qm_row = qm_ref[:, rr, :]  # (P, n_col)
-        sval = jnp.zeros((PAIRS, w_pad), jnp.int32)
+        sval = jnp.zeros((pairs, w_pad), jnp.int32)
         for c in range(n_col):
             sval = sval + jnp.where(twin == c, qm_row[:, c : c + 1], 0)
         diag = m_prev + sval
@@ -196,7 +197,7 @@ def _swg_fill_kernel(
 
         # Traceback bits, reference comparison order (:519-531).
         best_v = diag
-        tb_m = jnp.zeros((PAIRS, w_pad), jnp.int32)
+        tb_m = jnp.zeros((pairs, w_pad), jnp.int32)
         tb_m = jnp.where(d_cur > best_v, 1, tb_m)
         best_v = jnp.maximum(best_v, d_cur)
         tb_m = jnp.where(i_cur > best_v, 2, tb_m)
@@ -240,6 +241,23 @@ def _swg_fill_kernel(
     best_ref[...] = best
     bi_ref[...] = bi
     bj_ref[...] = bj
+
+
+def pairs_for(b: int, w_pad: int) -> int:
+    r"""Pairs per kernel block: as wide as VMEM allows, never below 8.
+
+    Each vector op in the row loop touches a ``(pairs, w_pad)`` tile; at the
+    minimum 8 pairs every op is a single vreg and Mosaic's per-op issue
+    overhead (~50 cycles measured) dominates the fill.  Widening the block
+    amortises that overhead linearly until the per-step working set — the
+    int32 traceback staging + int8 output block + carried bands, ~5 bytes per
+    (pair, ROW_TILE, w_pad) cell — presses on VMEM (~16 MB/core).
+    """
+    budget = 4 << 20  # bytes for the traceback staging + output block
+    pairs = 64
+    while pairs > 8 and (pairs * ROW_TILE * w_pad * 5 > budget or b % pairs):
+        pairs //= 2
+    return pairs
 
 
 @functools.partial(
@@ -309,6 +327,7 @@ def _swg_pallas_fill(
     )  # (nr, B, ROW_TILE + w_pad) — row-tile leads so the block's trailing
     # two dims (PAIRS, ROW_TILE + w_pad) satisfy Mosaic's (8, full) tiling rule
 
+    pairs = pairs_for(B, w_pad)
     kernel = functools.partial(
         _swg_fill_kernel,
         w_pad=w_pad,
@@ -316,30 +335,31 @@ def _swg_pallas_fill(
         gap_open=gap_open,
         gap_extend=gap_extend,
         n_col=n_col,
+        pairs=pairs,
     )
-    grid = (B // PAIRS, nr)
+    grid = (B // pairs, nr)
     tb, best, bi, bj = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((PAIRS, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PAIRS, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PAIRS, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PAIRS, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (PAIRS, ROW_TILE, n_col), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM
+                (pairs, ROW_TILE, n_col), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, PAIRS, ROW_TILE + w_pad), lambda b, r: (r, b, 0), memory_space=pltpu.VMEM
+                (1, pairs, ROW_TILE + w_pad), lambda b, r: (r, b, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (PAIRS, ROW_TILE, w_pad), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM
+                (pairs, ROW_TILE, w_pad), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((PAIRS, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PAIRS, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((PAIRS, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pairs, 1), lambda b, r: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, rows_max, w_pad), jnp.int8),
@@ -348,12 +368,12 @@ def _swg_pallas_fill(
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((PAIRS, w_pad), jnp.int32),
-            pltpu.VMEM((PAIRS, w_pad), jnp.int32),
-            pltpu.VMEM((PAIRS, 1), jnp.int32),
-            pltpu.VMEM((PAIRS, 1), jnp.int32),
-            pltpu.VMEM((PAIRS, 1), jnp.int32),
-            pltpu.VMEM((PAIRS, ROW_TILE, w_pad), jnp.int32),
+            pltpu.VMEM((pairs, w_pad), jnp.int32),
+            pltpu.VMEM((pairs, w_pad), jnp.int32),
+            pltpu.VMEM((pairs, 1), jnp.int32),
+            pltpu.VMEM((pairs, 1), jnp.int32),
+            pltpu.VMEM((pairs, 1), jnp.int32),
+            pltpu.VMEM((pairs, ROW_TILE, w_pad), jnp.int32),
         ],
         interpret=interpret,
     )(

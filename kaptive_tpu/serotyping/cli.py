@@ -151,6 +151,13 @@ class Type(Command):
             "(set KAPTIVE_TRACE_DIR to also capture a jax.profiler device trace)",
         )
         opts.add_argument(
+            "--screen-only", action="store_true",
+            help="Fast approximate mode: report only the best-matching locus and its "
+            "weighted screen score per assembly (the fully-jitted scoring phase; no "
+            "reconstruction, gene table, phenotype or confidence). TSV columns: "
+            "Assembly, Best match locus, Score (default: False)",
+        )
+        opts.add_argument(
             "--precompile", action="store_true",
             help="Compile every device program up front (Serotyper.warmup) before "
             "streaming genomes; compiled programs persist in the XLA cache so later "
@@ -163,6 +170,10 @@ class Type(Command):
         from kaptive_tpu.serotyping import Serotyper
 
         db = DatabaseManager.get(args.database)
+
+        if args.screen_only:
+            self._screen_only(args, db)
+            return
         exporter = ResultExporter(self.cli, args)
 
         serotyper = Serotyper(
@@ -196,6 +207,29 @@ class Type(Command):
         if args.profile:
             phase_report()
         self.cli.msg(f"✅ Serotyping complete. Results written to '{args.out}'.")
+
+    def _screen_only(self, args: argparse.Namespace, db) -> None:
+        r"""Approximate triage mode: one jitted screen pass per batch, 3-col TSV."""
+        from kaptive_tpu.parallel.pipeline import auto_batch_size
+        from kaptive_tpu.serotyping import Serotyper
+
+        serotyper = Serotyper(db=db)
+        batch_size = args.batch_size or auto_batch_size()
+        handle = self.cli.open_file(args.out or "stdout", mode="wb")
+        handle.write(b"Assembly\tBest match locus\tScore\n")
+        genome_list = list(args.genomes)
+        batches = range(0, len(genome_list), batch_size)
+        for start in self.cli.progress(batches, "🔍 Screening batches..."):
+            assemblies, best, weighted = serotyper.screen(
+                genome_list[start : start + batch_size]
+            )
+            for i, ga in enumerate(assemblies):
+                b = int(best[i])
+                handle.write(
+                    b"%s\t%s\t%.2f\n"
+                    % (ga.id.encode(), db.loci.ids[b].encode(), weighted[i, b])
+                )
+        self.cli.msg("✅ Screening complete.")
 
 
 class Convert(Command):

@@ -111,6 +111,7 @@ class Serotyper:
         self._descr_bytes = _byte_vocab(db.description_keys)
         # Mapper q_names convention: stringified DB gene indices.
         self._gene_names = tuple(str(i) for i in range(len(db.genes)))
+        self._screen_tables = None  # lazy ScreenTables for :meth:`screen`
 
     def __call__(self, genome: GenomeAssembly | str | Path) -> SerotypingResult | None:
         return self.batch([genome])[0]
@@ -272,6 +273,58 @@ class Serotyper:
                 for a in range(n_asm)
             ]
         return results
+
+    def screen(self, genomes: list) -> tuple[list, np.ndarray, np.ndarray]:
+        r"""Fast approximate batch pre-classification (scoring phase only).
+
+        Runs the fully-jitted screening step (:mod:`kaptive_tpu.parallel.screen`):
+        device minimizer scan -> gene-table tallies -> MXU locus scoring with
+        the reference's completeness^3 weighting (ref ``serotyping/core.py:164-207``).
+        Orders of magnitude cheaper than full typing and its best-locus calls
+        agree with the full pipeline on clean assemblies, but it produces no
+        gene table, reconstruction, phenotype or confidence call — use it to
+        triage large batches (``kaptive-tpu type --screen-only``) before full
+        typing, not as a substitute.  On a multi-device mesh the assemblies
+        shard over ``data`` and the gene table over ``model``.
+
+        Returns ``(assemblies, best_locus_indices, weighted_scores)`` where
+        ``weighted_scores`` is (B, n_loci).
+        """
+        from kaptive_tpu.ops.minimizer import bucket_length
+        from kaptive_tpu.parallel.screen import (
+            ScreenTables,
+            encode_assemblies_to_batch,
+            locus_screen_batch,
+            sharded_locus_screen,
+        )
+
+        assemblies = [GenomeAssembly.ensure(g) for g in genomes]
+        if not assemblies:
+            return [], np.empty(0, dtype=np.int32), np.empty((0, len(self._db.loci)))
+        if self._screen_tables is None:
+            self._screen_tables = ScreenTables.from_database(self._db)
+        tables = self._screen_tables
+        codes = encode_assemblies_to_batch(assemblies)
+        width = bucket_length(codes.shape[1])
+        if width != codes.shape[1]:  # stable jit shapes across batches
+            codes = np.pad(
+                codes, ((0, 0), (0, width - codes.shape[1])), constant_values=4
+            )
+        if self.mesh is not None and int(self.mesh.devices.size) > 1:
+            best, weighted = sharded_locus_screen(self.mesh, codes, tables)
+        else:
+            import jax.numpy as jnp
+
+            best, weighted = locus_screen_batch(
+                jnp.asarray(codes),
+                jnp.asarray(tables.table_hashes),
+                jnp.asarray(tables.table_genes),
+                jnp.asarray(tables.gene_locus_onehot),
+                jnp.asarray(tables.expected_per_locus),
+                jnp.asarray(tables.gene_minimizer_counts),
+                n_genes=len(self._db.genes),
+            )
+        return assemblies, np.asarray(best), np.asarray(weighted)
 
     def warmup(
         self, genome_length: int = 5_500_000, batch_size: int = 8, seed: int = 0

@@ -92,3 +92,19 @@ def test_cli_error_handling(workdir):
     assert b"Error" in r.stderr or b"invalid choice" in r.stderr
     r = _run(["--version"], workdir)
     assert r.returncode == 0
+
+
+def test_type_screen_only(workdir):
+    r = _run(
+        ["type", "TestDB.gbk", "g1.fasta", "g2.fasta", "--screen-only",
+         "-o", "screen.tsv"],
+        workdir,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    tsv = (workdir / "screen.tsv").read_bytes().splitlines()
+    assert tsv[0] == b"Assembly\tBest match locus\tScore"
+    assert len(tsv) == 3
+    rows = {line.split(b"\t")[0]: line.split(b"\t") for line in tsv[1:]}
+    assert rows[b"g1"][1] == b"KL1"
+    assert rows[b"g2"][1] == b"KL3"
+    assert float(rows[b"g1"][2]) > 0

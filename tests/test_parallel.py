@@ -131,3 +131,17 @@ def test_sharded_pipeline_uneven_batch(setup):
     mesh = make_mesh(8, model_parallel=2, devices=jax.devices("cpu"))
     results = Serotyper(db, mesh=mesh).batch(assemblies[:3])
     assert [r.best_locus_name for r in results] == true_loci[:3]
+
+
+def test_serotyper_screen_method(setup):
+    """Serotyper.screen (the production entry for the jitted screen) agrees
+    with truth on every assembly."""
+    from kaptive_tpu.serotyping import Serotyper
+
+    db, assemblies, true_loci = setup
+    ser = Serotyper(db)
+    out_assemblies, best, weighted = ser.screen(assemblies)
+    assert [db.loci.ids[b] for b in best] == true_loci
+    assert weighted.shape == (len(assemblies), len(db.loci))
+    for i, b in enumerate(best):
+        assert weighted[i, b] == weighted[i].max() > 0
