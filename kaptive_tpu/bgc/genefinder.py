@@ -217,12 +217,25 @@ def _strand_genes(
 
     import jax.numpy as jnp
 
+    from kaptive_tpu.ops.minimizer import bucket_length
+
+    # Pad to a shape bucket so the jitted Viterbi compiles once per size
+    # class instead of once per distinct contig/strand length.  The pad tail
+    # blocks gene entry (-BIG emission and entry scores), so the optimal path
+    # idles in N there and the decoded prefix is unchanged.
+    Lp = bucket_length(L, minimum=1 << 12)
+    if Lp != L:
+        codemit = np.concatenate([codemit, np.full(Lp - L, -BIG, np.float32)])
+        entry_b = np.concatenate([entry_b, np.full(Lp - L, -BIG, np.float32)])
+        exit_b = np.concatenate(
+            [exit_b, np.full(Lp - L, params.exit_other, np.float32)]
+        )
     states = np.asarray(
         _viterbi_states(
             jnp.asarray(codemit), jnp.asarray(entry_b), jnp.asarray(exit_b),
             indel=params.indel, ins_extend=params.ins_extend,
         )
-    )
+    )[:L]
 
     coding = states != N
     if not coding.any():

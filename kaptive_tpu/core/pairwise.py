@@ -265,15 +265,18 @@ def batched_swg_align(
 
         q_data_d = jnp.asarray(pow2_pad(q_data))
         t_data_d = jnp.asarray(pow2_pad(t_data))
+    # min_batch must be a multiple of the device count (sharded buckets split
+    # the pair axis evenly): smallest such multiple >= 16.
+    min_batch = -(-16 // n_dev) * n_dev
     launched = []
     for sel, rows_max, w_pad, b_pad in plan_swg_buckets(
-        joint, w_needed, lattice, min_batch=max(16, n_dev)
+        joint, w_needed, lattice, min_batch=min_batch
     ):
         t_max = rows_max
         t_pad = w_pad + 2
         b = len(sel)
-        if b_pad < max(16, n_dev):
-            b_pad = max(16, n_dev)
+        if b_pad < min_batch:
+            b_pad = min_batch
 
         def pad(x, fill=0):
             o = np.full(b_pad, fill, dtype=np.int32)

@@ -136,7 +136,11 @@ def plan_swg_buckets(
         rows_max = int(rows_of[sel[0]])
         w_pad = int(w_of[sel[0]])
         if lattice is not None and bool(on_lattice[sel[0]]):
-            b_fix = lattice.batch
+            # Round the frozen batch up to a multiple of min_batch so a
+            # multi-device mesh whose device count does not divide the
+            # lattice batch (non-power-of-two meshes) still gets an evenly
+            # shardable pair axis.
+            b_fix = -(-lattice.batch // min_batch) * min_batch
             for start in range(0, len(sel), b_fix):
                 groups.append((sel[start : start + b_fix], rows_max, w_pad, b_fix))
         else:

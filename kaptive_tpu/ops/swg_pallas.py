@@ -253,9 +253,12 @@ def pairs_for(b: int, w_pad: int) -> int:
     int32 traceback staging + int8 output block + carried bands, ~5 bytes per
     (pair, ROW_TILE, w_pad) cell — presses on VMEM (~16 MB/core).
     """
-    budget = 4 << 20  # bytes for the traceback staging + output block
+    # Empirical VMEM model: Mosaic's scoped-stack allocation measured 23.3 MB
+    # at pairs*w_pad = 8192 (64 pairs, w 128) — the unrolled row temporaries
+    # dominate and scale with the (pairs, w_pad) tile.  4096 units keeps the
+    # stack near 12 MB of the 16 MB/core budget.
     pairs = 64
-    while pairs > 8 and (pairs * ROW_TILE * w_pad * 5 > budget or b % pairs):
+    while pairs > 8 and (pairs * w_pad > 4096 or b % pairs):
         pairs //= 2
     return pairs
 

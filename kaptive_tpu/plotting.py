@@ -10,9 +10,12 @@ glyph geometry (``GeneGlyphPlotter`` :187-413), ``LocusBackbonePlotter``
 
 Design difference: the reference emits Plotly figures that load plotly.js from
 a CDN.  Here figures are dependency-free SVG embedded in a single HTML file
-with hover tooltips via <title> elements — fully offline, no JS dependency —
-while keeping the same visual semantics (gene arrows coloured by state,
-backbone lines per piece, homology ribbons between loci).
+with the same interaction model — wheel zoom + drag pan (SVG viewBox), click
+-to-toggle legend entries, floating hover tooltips (plus ``<title>`` fallback
+when scripts are disabled) — implemented by a ~50-line inline controller, so
+the file stays fully offline with no JS dependency, while keeping the
+reference's visual semantics (gene arrows coloured by state, backbone lines
+per piece, homology ribbons shaded by protein identity).
 """
 
 from __future__ import annotations
@@ -52,13 +55,56 @@ class Figure:
             + "</svg>"
         )
 
+    # Inline interaction controller: wheel zoom around the cursor + drag pan
+    # via the SVG viewBox, double-click reset, legend click-to-toggle (by the
+    # entry's data-target class), and a floating tooltip fed by data-tip
+    # attributes.  <title> children remain as the scriptless fallback.
+    _SCRIPT = """
+(function(){
+  var svg=document.querySelector('svg');if(!svg)return;
+  var vb=svg.viewBox.baseVal;var init=[vb.x,vb.y,vb.width,vb.height];
+  function pt(e){var r=svg.getBoundingClientRect();
+    return [vb.x+(e.clientX-r.left)/r.width*vb.width,
+            vb.y+(e.clientY-r.top)/r.height*vb.height];}
+  svg.addEventListener('wheel',function(e){e.preventDefault();
+    var f=e.deltaY<0?0.8:1.25;var p=pt(e);
+    vb.x=p[0]-(p[0]-vb.x)*f;vb.y=p[1]-(p[1]-vb.y)*f;
+    vb.width*=f;vb.height*=f;},{passive:false});
+  var drag=null;
+  svg.addEventListener('mousedown',function(e){drag=pt(e);});
+  window.addEventListener('mouseup',function(){drag=null;});
+  svg.addEventListener('mousemove',function(e){if(!drag)return;
+    var p=pt(e);vb.x+=drag[0]-p[0];vb.y+=drag[1]-p[1];});
+  svg.addEventListener('dblclick',function(){
+    vb.x=init[0];vb.y=init[1];vb.width=init[2];vb.height=init[3];});
+  document.querySelectorAll('.legend-item').forEach(function(el){
+    el.addEventListener('click',function(){
+      var off=el.classList.toggle('legend-off');
+      document.querySelectorAll('.'+el.getAttribute('data-target')).forEach(
+        function(g){g.style.display=off?'none':'';});});});
+  var tip=document.createElement('div');tip.id='tip';document.body.appendChild(tip);
+  document.querySelectorAll('[data-tip]').forEach(function(el){
+    el.addEventListener('mousemove',function(e){
+      tip.textContent=el.getAttribute('data-tip');tip.style.display='block';
+      tip.style.left=(e.pageX+12)+'px';tip.style.top=(e.pageY+12)+'px';});
+    el.addEventListener('mouseleave',function(){tip.style.display='none';});});
+})();
+"""
+
     def to_html(self) -> str:
         return (
             "<!DOCTYPE html><html><head><meta charset='utf-8'>"
             f"<title>{html.escape(self.title)}</title>"
             "<style>body{margin:1em;font-family:sans-serif}svg{max-width:100%;height:auto}"
-            "polygon:hover,rect:hover,path:hover{opacity:0.7}</style></head><body>"
-            f"<h3>{html.escape(self.title)}</h3>{self.to_svg()}</body></html>"
+            "polygon:hover,rect:hover,path:hover{opacity:0.7}"
+            ".legend-item{cursor:pointer}.legend-off{opacity:0.35}"
+            "#tip{position:absolute;display:none;background:#222;color:#fff;"
+            "padding:4px 8px;border-radius:4px;font-size:12px;pointer-events:none}"
+            "</style></head><body>"
+            f"<h3>{html.escape(self.title)}</h3>"
+            "<p style='color:#888;font-size:11px'>scroll to zoom, drag to pan, "
+            "double-click to reset, click legend entries to toggle</p>"
+            f"{self.to_svg()}<script>{self._SCRIPT}</script></body></html>"
         )
 
     def write_html(self, path: str | Path, **_: object) -> None:
@@ -203,19 +249,22 @@ class SerotypingResultPlotter(BasePlotter):
                 f"identity {result.protein_identities[i]:.2f}% | "
                 f"coverage {hits.coverages[i]:.2f}%"
             )
+            state_name = GeneStyleManager.STATE_NAMES.get(int(result.gene_states[i]), "other")
             pts = gene_arrow_points(x0, x1, y, self.gene_height, int(arranged.strands[i]))
             fig.add(
-                f'<polygon points="{pts}" fill="{color}" stroke="#222" stroke-width="0.5">'
+                f'<polygon class="gene state-{state_name}" points="{pts}" fill="{color}" '
+                f'stroke="#222" stroke-width="0.5" data-tip="{html.escape(tip, quote=True)}">'
                 f"<title>{html.escape(tip)}</title></polygon>"
             )
 
-        # Legend.
+        # Legend: each entry toggles its gene-state class on click.
         lx = self.margin
         for state, name in GeneStyleManager.STATE_NAMES.items():
             fig.add(
+                f'<g class="legend-item" data-target="state-{name}">'
                 f'<rect x="{lx}" y="{fig.height - 28}" width="12" height="12" '
                 f'fill="{GeneStyleManager.STATE_COLORS[state]}"/>'
-                f'<text x="{lx + 16}" y="{fig.height - 18}" font-size="11">{name}</text>'
+                f'<text x="{lx + 16}" y="{fig.height - 18}" font-size="11">{name}</text></g>'
             )
             lx += 90
         return fig
@@ -250,9 +299,11 @@ class LocusBackbonePlotter(BasePlotter):
             gx0 = self.margin + x_offset + starts[i] * sx
             gx1 = self.margin + x_offset + ends[i] * sx
             pts = gene_arrow_points(gx0, gx1, y, self.gene_height, int(strands[i]))
+            tip = html.escape(str(descriptions[i]))
             fig.add(
-                f'<polygon points="{pts}" fill="{colors[i]}" stroke="#222" stroke-width="0.5">'
-                f"<title>{html.escape(str(descriptions[i]))}</title></polygon>"
+                f'<polygon class="gene" points="{pts}" fill="{colors[i]}" '
+                f'stroke="#222" stroke-width="0.5" data-tip="{html.escape(str(descriptions[i]), quote=True)}">'
+                f"<title>{tip}</title></polygon>"
             )
 
 
@@ -338,11 +389,15 @@ class LocusComparisonPlotter(BasePlotter):
             t1 = self.margin + x_offsets[j] + iv.ends[gt] * sx
             ident = float(idents[k])
             opacity = 0.15 + 0.5 * max(min(ident / 100.0, 1.0), 0.0)
+            rtip = (
+                f"{comparisons.gene_names[gq]} ~ {comparisons.gene_names[gt]}: "
+                f"{ident:.1f}% identity"
+            )
             fig.add(
-                f'<path d="M{q0:.1f},{ys[i] + 12} L{q1:.1f},{ys[i] + 12} '
+                f'<path class="ribbon" d="M{q0:.1f},{ys[i] + 12} L{q1:.1f},{ys[i] + 12} '
                 f'L{t1:.1f},{ys[j] - 12} L{t0:.1f},{ys[j] - 12} Z" '
-                f'fill="#888" opacity="{opacity:.2f}">'
-                f"<title>{ident:.1f}% identity</title></path>"
+                f'fill="#888" opacity="{opacity:.2f}" data-tip="{html.escape(rtip, quote=True)}">'
+                f"<title>{html.escape(rtip)}</title></path>"
             )
 
         for r in range(n):
@@ -359,4 +414,13 @@ class LocusComparisonPlotter(BasePlotter):
                 sx,
                 x_offset=x_offsets[r],
             )
+
+        # Legend entry toggling every ribbon at once.
+        fig.add(
+            '<g class="legend-item" data-target="ribbon">'
+            f'<rect x="{self.margin}" y="{fig.height - 24}" width="12" height="12" '
+            'fill="#888" opacity="0.5"/>'
+            f'<text x="{self.margin + 16}" y="{fig.height - 14}" font-size="11">'
+            "homology ribbons (identity-shaded)</text></g>"
+        )
         return fig

@@ -21,15 +21,21 @@ Conventions used by the pipeline:
 from __future__ import annotations
 
 import sys
+import threading
 from collections import defaultdict
 
 _COUNTS: dict[str, int] = defaultdict(int)
 _SHAPES: set[str] = set()
+# Counters are bumped from several threads (the ingest pool, the streaming
+# pipeline's device stage, the main thread) and the bench reads them as
+# evidence of which code path ran — guard the read-modify-writes.
+_LOCK = threading.Lock()
 
 
 def count(name: str, n: int = 1) -> None:
-    r"""Increment counter ``name`` by ``n``."""
-    _COUNTS[name] += n
+    r"""Increment counter ``name`` by ``n`` (thread-safe)."""
+    with _LOCK:
+        _COUNTS[name] += n
 
 
 def record_shape(kind: str, *dims: int) -> bool:
@@ -40,10 +46,11 @@ def record_shape(kind: str, *dims: int) -> bool:
     so the bench output shows steady-state compile churn.
     """
     key = f"{kind}:" + "x".join(str(d) for d in dims)
-    if key in _SHAPES:
-        return False
-    _SHAPES.add(key)
-    count(f"{kind}.new_shape")
+    with _LOCK:
+        if key in _SHAPES:
+            return False
+        _SHAPES.add(key)
+        _COUNTS[f"{kind}.new_shape"] += 1
     return True
 
 

@@ -65,10 +65,13 @@ def main() -> int:
     if announcement is None:
         return 0
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    import html
+
     with open(args.out, "w", encoding="utf-8") as handle:
         handle.write(
             "<strong>\N{PUBLIC ADDRESS LOUDSPEAKER} Latest Update:</strong> "
-            f'<a href="{announcement["url"]}">{announcement["title"]}</a>'
+            f'<a href="{html.escape(announcement["url"], quote=True)}">'
+            f'{html.escape(announcement["title"])}</a>'
         )
     print(f"wrote {args.out}")
     return 0
