@@ -207,6 +207,15 @@ def main() -> None:
             done += 1
         return time.perf_counter() - t0, correct
 
+    # One untimed priming pass: the first stream through a fresh process pays
+    # one-off costs (persistent-cache writes, first-touch transfer setup,
+    # allocator growth) that are not steady-state throughput; every timed
+    # pass thereafter does the full ingest+type work from scratch.
+    t_p = time.perf_counter()
+    elapsed, correct = timed_pass()
+    print(f"# priming pass (untimed): {elapsed:.2f}s, {correct}/{len(assemblies)} correct",
+          file=sys.stderr, flush=True)
+
     passes = []
     n_passes = int(os.environ.get("KAPTIVE_TPU_BENCH_PASSES", "3"))
     for p in range(n_passes):

@@ -61,10 +61,10 @@ class Cigars:
         if isinstance(item, (int, np.integer)):
             if item < 0:
                 item += len(self)  # type: ignore[assignment]
-            if item < 0 or item >= len(self):
+            if not 0 <= item < len(self):
                 raise IndexError("Batch index out of range")
-            offset_val, length_val = self.offsets[item], self.lengths[item]
-            return self.data[offset_val : offset_val + length_val]
+            lo = int(self.offsets[item])
+            return self.data[lo : lo + int(self.lengths[item])]
 
         if isinstance(item, slice):
             indices = np.arange(len(self))[item]
@@ -341,6 +341,18 @@ class Alignments(SoAContainer):
             kwargs[name] = fspec.concat(vals) if kind == "container" else np.concatenate(vals)
         return cls(**kwargs)  # type: ignore[return-value]
 
+    # Scalar-view field -> backing column for the plain per-row attributes;
+    # idx / names / strand / cigar need bespoke handling (vocab lookup, enum
+    # coercion, ragged slice) and are built explicitly.
+    _VIEW_COLS = dict(
+        q_length="q_lengths", q_start="q_starts", q_end="q_ends",
+        t_length="t_lengths", t_start="t_starts", t_end="t_ends",
+        length="lengths", match="matches", mismatch="mismatches",
+        score="scores", quality="qualities", is_primary="is_primary",
+        is_supplementary="is_supplementary", is_spliced="is_spliced",
+        divergence="divergence", cs="cs", md="md",
+    )
+
     def __getitem__(self, item: int | slice | npt.NDArray[Any] | list[int]) -> Alignment | Alignments:
         if isinstance(item, (int, np.integer)):
             if item < 0:
@@ -350,26 +362,10 @@ class Alignments(SoAContainer):
             return Alignment(
                 idx=item,  # type: ignore[arg-type]
                 q_name=self.q_names_dict[self.q_name_ids[item]],
-                q_length=self.q_lengths[item],
-                q_start=self.q_starts[item],
-                q_end=self.q_ends[item],
                 t_name=self.t_names_dict[self.t_name_ids[item]],
-                t_length=self.t_lengths[item],
-                t_start=self.t_starts[item],
-                t_end=self.t_ends[item],
                 strand=Strand(self.strands[item]),
-                length=self.lengths[item],
-                match=self.matches[item],
-                mismatch=self.mismatches[item],
-                score=self.scores[item],
-                quality=self.qualities[item],
                 cigar=self.cigars[item],  # type: ignore[arg-type]
-                is_primary=self.is_primary[item],
-                is_supplementary=self.is_supplementary[item],
-                is_spliced=self.is_spliced[item],
-                divergence=self.divergence[item],
-                cs=self.cs[item],
-                md=self.md[item],
+                **{f: getattr(self, col)[item] for f, col in self._VIEW_COLS.items()},
             )
         # Explicit base call: slots=True dataclasses break zero-arg super().
         return SoAContainer.__getitem__(self, item)
@@ -479,46 +475,26 @@ class Alignments(SoAContainer):
 
     @classmethod
     def from_records(cls, records: Iterable[Alignment]) -> Alignments:
+        r"""Build a batch from scalar views (inverse of integer indexing):
+        columns come from the scalar-view map + the soa field spec, name
+        vocabularies from insertion-ordered interning."""
         records_list = list(records)
         if not records_list:
             return cls.empty()
-        q_names_map: dict[str, int] = {}
-        q_names_list: list[str] = []
-        qn_ids: list[int] = []
-        t_names_map: dict[str, int] = {}
-        t_names_list: list[str] = []
-        tn_ids: list[int] = []
-        for r in records_list:
-            if r.q_name not in q_names_map:
-                q_names_map[r.q_name] = len(q_names_list)
-                q_names_list.append(r.q_name)
-            qn_ids.append(q_names_map[r.q_name])
-            if r.t_name not in t_names_map:
-                t_names_map[r.t_name] = len(t_names_list)
-                t_names_list.append(r.t_name)
-            tn_ids.append(t_names_map[r.t_name])
-        return cls(
-            q_name_ids=np.array(qn_ids, dtype=np.int32),
-            q_names_dict=tuple(q_names_list),
-            q_lengths=np.array([r.q_length for r in records_list], dtype=np.int32),
-            q_starts=np.array([r.q_start for r in records_list], dtype=np.int32),
-            q_ends=np.array([r.q_end for r in records_list], dtype=np.int32),
-            t_name_ids=np.array(tn_ids, dtype=np.int32),
-            t_names_dict=tuple(t_names_list),
-            t_lengths=np.array([r.t_length for r in records_list], dtype=np.int32),
-            t_starts=np.array([r.t_start for r in records_list], dtype=np.int32),
-            t_ends=np.array([r.t_end for r in records_list], dtype=np.int32),
-            strands=np.array([r.strand for r in records_list], dtype=np.int8),
-            lengths=np.array([r.length for r in records_list], dtype=np.int32),
-            matches=np.array([r.match for r in records_list], dtype=np.int32),
-            mismatches=np.array([r.mismatch for r in records_list], dtype=np.int32),
-            scores=np.array([r.score for r in records_list], dtype=np.int32),
-            qualities=np.array([r.quality for r in records_list], dtype=np.uint8),
-            cigars=Cigars.from_lists([r.cigar for r in records_list]),
-            is_primary=np.array([r.is_primary for r in records_list], dtype=bool),
-            is_supplementary=np.array([r.is_supplementary for r in records_list], dtype=bool),
-            is_spliced=np.array([r.is_spliced for r in records_list], dtype=bool),
-            divergence=np.array([r.divergence for r in records_list], dtype=np.float64),
-            cs=np.array([r.cs for r in records_list], dtype=object),
-            md=np.array([r.md for r in records_list], dtype=object),
-        )
+        kw: dict[str, Any] = {}
+        for side in ("q", "t"):
+            names_map: dict[str, int] = {}
+            ids = [
+                names_map.setdefault(getattr(r, f"{side}_name"), len(names_map))
+                for r in records_list
+            ]
+            kw[f"{side}_names_dict"] = tuple(names_map)
+            kw[f"{side}_name_ids"] = np.array(ids, dtype=np.int32)
+        dtypes = {name: fspec for name, _, fspec in cls._soa_spec()[0]}
+        for view_field, col in cls._VIEW_COLS.items():
+            kw[col] = np.array(
+                [getattr(r, view_field) for r in records_list], dtype=dtypes[col]
+            )
+        kw["strands"] = np.array([r.strand for r in records_list], dtype=np.int8)
+        kw["cigars"] = Cigars.from_lists([r.cigar for r in records_list])
+        return cls(**kw)

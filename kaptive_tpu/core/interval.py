@@ -49,11 +49,7 @@ class Strand(IntEnum):
         return Strand.UNSTRANDED
 
     def __str__(self) -> str:
-        if self == Strand.FORWARD:
-            return "+"
-        if self == Strand.REVERSE:
-            return "-"
-        return "."
+        return {Strand.FORWARD: "+", Strand.REVERSE: "-"}.get(self, ".")
 
 
 @dataclass(frozen=True, slots=True)
@@ -70,8 +66,8 @@ class Interval:
     def __contains__(self, item: IntervalLike) -> bool:
         if isinstance(item, int):
             return self.start <= item < self.end
-        interval_obj = Interval.from_item(item)
-        return self.start <= interval_obj.start and self.end >= interval_obj.end
+        other = Interval.from_item(item)
+        return self.start <= other.start and other.end <= self.end
 
     def __add__(self, other: IntervalLike) -> Interval:
         other_obj = Interval.from_item(other)
@@ -102,35 +98,34 @@ class Interval:
 
     @classmethod
     def from_int(cls, item: int, strand: Strand = Strand.UNSTRANDED, length: int | None = None) -> Interval:
-        if item < 0 and length is not None:
-            item += length
-        return cls(item, item + 1, strand)
+        pos = item + length if (item < 0 and length is not None) else item
+        return cls(pos, pos + 1, strand)
 
     @classmethod
     def from_slice(cls, item: slice, strand: Strand = Strand.UNSTRANDED, length: int | None = None) -> Interval:
-        start, stop, step = item.start, item.stop, item.step
-        if start is None:
-            start = 0
-        if stop is None and length is not None:
-            stop = length
+        start = 0 if item.start is None else item.start
+        stop = length if item.stop is None else item.stop
         if stop is None:
             raise ValueError("Cannot create Interval from slice with None stop without 'length'")
-        if step == -1:
-            return cls(stop + 1, start + 1, strand)
+        if item.step == -1:  # reversed slice: flip to forward half-open bounds
+            start, stop = stop + 1, start + 1
         return cls(start, stop, strand)
 
+    # Coercion dispatch for interval-like inputs (scalar Interval wins, then
+    # anything exposing .interval, then the per-type constructors).
     @classmethod
     def from_item(cls, item: IntervalLike, strand: Strand = Strand.UNSTRANDED, length: int | None = None) -> Interval:
         if isinstance(item, cls):
             return item
         if (interval := getattr(item, "interval", None)) is not None:
             return interval
-        if isinstance(item, Match):
-            return cls.from_match(item, strand)
-        if isinstance(item, int):
-            return cls.from_int(item, strand, length)
-        if isinstance(item, slice):
-            return cls.from_slice(item, strand, length)
+        for kind, build in (
+            (Match, lambda: cls.from_match(item, strand)),
+            (int, lambda: cls.from_int(item, strand, length)),
+            (slice, lambda: cls.from_slice(item, strand, length)),
+        ):
+            if isinstance(item, kind):
+                return build()
         raise TypeError(item)
 
 

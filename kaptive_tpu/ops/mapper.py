@@ -214,8 +214,12 @@ def find_anchors(gene_index: GeneIndex, contig_mins: MinimizerSet, params: Mappe
 
 
 MIN_DENSITY_CAP = 4  # minimizer capacity = L / MIN_DENSITY_CAP (true density ~2/(w+1))
-CANDIDATE_CAP = 1 << 16  # per-genome bloom-surviving minimizer capacity
-ANCHOR_CAP = 1 << 16  # per-genome anchor capacity (transferred arrays scale with this)
+# Fixed-capacity buffers: every expansion pass (cumsum/cummax/gather) costs
+# time proportional to the CAP, not the live count, so the caps sit ~4-10x
+# above typical occupancy (measured ~5K candidates / ~3.5K anchors per 5.3 Mb
+# genome) rather than ~20x; overflow fires the counted host fallback.
+CANDIDATE_CAP = 1 << 14  # per-genome bloom-surviving minimizer capacity
+ANCHOR_CAP = 1 << 15  # per-genome anchor capacity (transferred arrays scale with this)
 DEVICE_MAX_OCC = 1024  # per-minimizer gene-table occurrence cap in the fused device step
 BUCKET_SHIFT = 12  # hash-prefix bucket width for the device table lookup (2^20 buckets)
 BLOOM_BITS = 27  # membership bitmap size (2^27 bits = 16 MB); FP rate = T / 2^27

@@ -65,12 +65,13 @@ def stream_batches(
     groups = [genome_list[i : i + batch_size] for i in range(0, len(genome_list), batch_size)]
     if not groups:
         return
-    # Default to a MODEST pool: per-genome ingest is ~0.15 s of mostly
-    # GIL-releasing numpy, so 8 workers keep ahead of the device easily,
-    # while a very wide pool's Python glue starves the main thread's
-    # dispatch loop.
+    # Per-genome ingest is ~70 ms of GIL-releasing numpy plus a BLOCKED H2D
+    # wait that can reach ~0.6 s on a contended tunnel — the waits overlap
+    # freely, so the pool is sized for them (16 threads sustain ~20+ asm/s
+    # of ingest even at worst-case transfer queueing; an 8-wide pool was the
+    # pipeline's rate limiter on the shared chip).
     if max_workers is None:
-        max_workers = 8
+        max_workers = 16
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         pending = []
         for gi in range(min(prefetch_batches + 1, len(groups))):
@@ -108,7 +109,7 @@ def stream_type(
     serotyper,
     genomes: Iterable[str | Path],
     batch_size: int = 8,
-    prefetch_batches: int = 1,
+    prefetch_batches: int = 2,
     max_workers: int | None = None,
 ):
     r"""Generator of SerotypingResult over a streamed, prefetched genome list.

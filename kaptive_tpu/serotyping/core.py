@@ -90,13 +90,20 @@ class Serotyper:
         # translation, both bounded by the longest DB protein (+25% slack for
         # insertion-stretched hits).  Extension pairs: gene vs chain-projected
         # contig window, bounded by the longest DB gene plus window padding.
+        from kaptive_tpu.ops.scan_pallas import default_device_is_tpu
+
+        # On a tunneled TPU every DP dispatch costs round trips, so batch
+        # whole phases into few launches (384 covers a 16-assembly batch's
+        # typical pair count in one); on CPU keep small batches — the lax
+        # path pays real compute for padding.
+        dp_batch = 384 if default_device_is_tpu() else 128
         max_prot = int(db.translations.lengths.max()) if len(db.translations) else 64
         self._protein_lattice = SwgLattice.for_max_len(
-            max_prot, len_slack=max(16, max_prot // 4)
+            max_prot, len_slack=max(16, max_prot // 4), batch=dp_batch
         )
         max_gene = int(db.genes.lengths.max()) if len(db.genes) else 256
         self._ext_lattice = SwgLattice.for_max_len(
-            max_gene, len_slack=768, widths=(128, 512)
+            max_gene, len_slack=768, widths=(128, 512), batch=dp_batch
         )
         mp = mapper_params or MapperParams()
         if mp.lattice is None:
