@@ -56,6 +56,12 @@ _lib.fasta_parse.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
 ]
 _lib.encode_dna_2bit.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
+_lib.build_contig_stream.restype = ctypes.c_int64
+_lib.build_contig_stream.argtypes = [
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ctypes.c_int64, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+]
 
 
 def parse_fasta_bytes(data: bytes) -> list[tuple[str, bytes]]:
@@ -105,3 +111,35 @@ def encode_dna(seqs: np.ndarray) -> np.ndarray:
         data.tobytes(), len(data), out.ctypes.data_as(ctypes.c_void_p)
     )
     return out
+
+
+def build_contig_stream(
+    seqs: np.ndarray, offsets: np.ndarray, lengths: np.ndarray,
+    gap: int, alloc: int, exc_cap: int,
+):
+    r"""Fused encode + sentinel-concat + 2-bit pack + exception scan (one C pass).
+
+    Returns ``(flat_codes[alloc], packed[(real+3)//4], exceptions, real_len,
+    n_exc)`` with ``real_len = sum(lengths) + gap * (n_seqs - 1)``; ``n_exc``
+    may exceed ``exc_cap`` (only the first ``exc_cap`` positions are
+    recorded — callers fall back to the dense upload form then).
+    """
+    seq_c = np.ascontiguousarray(seqs, dtype=np.uint8)
+    off_c = np.ascontiguousarray(offsets, dtype=np.int64)
+    len_c = np.ascontiguousarray(lengths, dtype=np.int64)
+    n = len(off_c)
+    real = int(len_c.sum()) + gap * max(n - 1, 0)
+    flat = np.full(alloc, 4, dtype=np.uint8)
+    packed = np.zeros((real + 3) // 4, dtype=np.uint8)
+    exc = np.empty(max(exc_cap, 1), dtype=np.int32)
+    n_exc = _lib.build_contig_stream(
+        seq_c.ctypes.data_as(ctypes.c_void_p),
+        off_c.ctypes.data_as(ctypes.c_void_p),
+        len_c.ctypes.data_as(ctypes.c_void_p),
+        n, gap,
+        flat.ctypes.data_as(ctypes.c_void_p),
+        packed.ctypes.data_as(ctypes.c_void_p),
+        exc.ctypes.data_as(ctypes.c_void_p),
+        exc_cap,
+    )
+    return flat, packed, exc[: min(n_exc, exc_cap)], real, int(n_exc)

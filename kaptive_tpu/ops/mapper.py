@@ -681,40 +681,55 @@ def _device_inputs(contig_index):
     return contig_index._cache["dev_packed"], contig_index._cache["dev_bits"]
 
 
-EXC_CAP = 1 << 15  # sparse-upload exception capacity (Ns + inter-contig sentinels)
+from kaptive_tpu.ops.minimizer import EXC_CAP  # sparse-upload exception capacity
+
+
+def _quantised_sparse(packed: np.ndarray, exc: np.ndarray, real: int):
+    r"""Quantise the sparse upload arrays so jit keys stay stable (packed
+    width in 256 KiB steps, exception list in pow4 steps)."""
+    step = 1 << 18
+    w4 = max(-(-len(packed) // step) * step, step)
+    packed_q = np.zeros(w4, dtype=np.uint8)
+    packed_q[: len(packed)] = packed
+    e_q = 1024
+    while e_q < len(exc):
+        e_q *= 4
+    exc_q = np.full(e_q, np.int32(0x40000000), dtype=np.int32)
+    exc_q[: len(exc)] = exc
+    return packed_q, exc_q, np.int32(real)
 
 
 def _packed_inputs_sparse(contig_index):
     r"""Sparse host upload form: (packed_real_q, exceptions_q, real_len).
 
-    Uploads only the real-prefix 2-bit stream (width quantised in 256 KiB
-    steps so jit keys stay stable) plus the positions of invalid bases — the
-    dense validity bitmask and the pow2 bucket padding were ~58% of the H2D
-    bytes for nothing.  Returns None when the assembly has more than
+    Uploads only the real-prefix 2-bit stream plus the positions of invalid
+    bases — the dense validity bitmask and the bucket padding were ~58% of
+    the H2D bytes for nothing.  Returns None when the assembly has more than
     ``EXC_CAP`` invalid positions (callers fall back to the dense form).
+    The native ingest path (``ContigIndex.build``) pre-computes the pack and
+    exception scan in one C pass; the numpy form is the fallback.
     """
     if "sparse" not in contig_index._cache:
-        starts, lengths = contig_index.starts, contig_index.lengths
-        real = int(starts[-1] + lengths[-1]) if len(starts) else 0
-        n4 = (real + 3) // 4 * 4
-        codes_real = contig_index.codes[:n4]
-        exc = np.flatnonzero(codes_real >= 4).astype(np.int32)
-        if len(exc) > EXC_CAP:
-            contig_index._cache["sparse"] = None
+        native = contig_index._cache.pop("native_pack", None)
+        if native is not None:
+            packed, exc, real, n_exc = native
+            contig_index._cache["sparse"] = (
+                None if n_exc > EXC_CAP else _quantised_sparse(packed, exc, real)
+            )
         else:
-            from kaptive_tpu.ops.minimizer import pack_2bit
+            starts, lengths = contig_index.starts, contig_index.lengths
+            real = int(starts[-1] + lengths[-1]) if len(starts) else 0
+            n4 = (real + 3) // 4 * 4
+            codes_real = contig_index.codes[:n4]
+            exc = np.flatnonzero(codes_real >= 4).astype(np.int32)
+            if len(exc) > EXC_CAP:
+                contig_index._cache["sparse"] = None
+            else:
+                from kaptive_tpu.ops.minimizer import pack_2bit
 
-            packed = pack_2bit(codes_real)
-            step = 1 << 18
-            w4 = max(-(-len(packed) // step) * step, step)
-            packed_q = np.zeros(w4, dtype=np.uint8)
-            packed_q[: len(packed)] = packed
-            e_q = 1024
-            while e_q < len(exc):
-                e_q *= 4
-            exc_q = np.full(e_q, np.int32(0x40000000), dtype=np.int32)
-            exc_q[: len(exc)] = exc
-            contig_index._cache["sparse"] = (packed_q, exc_q, np.int32(real))
+                contig_index._cache["sparse"] = _quantised_sparse(
+                    pack_2bit(codes_real), exc, real
+                )
     return contig_index._cache["sparse"]
 
 

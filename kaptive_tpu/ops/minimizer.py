@@ -42,6 +42,8 @@ UINT32_MAX = np.uint32(0xFFFFFFFF)
 DEFAULT_K = 15
 DEFAULT_W = 10
 
+EXC_CAP = 1 << 15  # sparse-upload exception capacity (Ns + inter-contig sentinels)
+
 
 def encode_dna(seqs: np.ndarray) -> np.ndarray:
     r"""Host-side byte->2-bit encoding (device path takes the code array)."""
@@ -307,9 +309,30 @@ class ContigIndex:
 
     @classmethod
     def build(cls, contigs: Sequences, k: int = DEFAULT_K, w: int = DEFAULT_W) -> "ContigIndex":
-        codes = encode_dna(contigs.seqs)
-        flat, starts = concat_with_sentinels(codes, contigs.offsets, contigs.lengths, k)
-        return cls(flat, starts, contigs.lengths.astype(np.int64), k, w)
+        gap = k - 1
+        starts = np.zeros(len(contigs.offsets), dtype=np.int64)
+        if len(starts) > 1:
+            np.cumsum(contigs.lengths[:-1].astype(np.int64) + gap, out=starts[1:])
+        try:
+            # Native fused path: encode + sentinel-concat + 2-bit pack +
+            # exception scan in one C pass; the pack/exception outputs seed
+            # the sparse-upload cache so the ingest threads skip the numpy
+            # pack entirely.
+            from kaptive_tpu.native import hostio
+
+            n = len(contigs.offsets)
+            total = int(contigs.lengths.sum()) + gap * max(n - 1, 0)
+            alloc = bucket_length(max(total, 1))
+            flat, packed, exc, real, n_exc = hostio.build_contig_stream(
+                contigs.seqs, contigs.offsets, contigs.lengths, gap, alloc, EXC_CAP
+            )
+            ci = cls(flat, starts, contigs.lengths.astype(np.int64), k, w)
+            ci._cache["native_pack"] = (packed, exc, real, n_exc)
+            return ci
+        except ImportError:
+            codes = encode_dna(contigs.seqs)
+            flat, _ = concat_with_sentinels(codes, contigs.offsets, contigs.lengths, k)
+            return cls(flat, starts, contigs.lengths.astype(np.int64), k, w)
 
     @property
     def minimizers(self) -> MinimizerSet:

@@ -75,7 +75,7 @@ int fasta_parse(const uint8_t* data, size_t n,
 }
 
 // Byte -> 2-bit code LUT encode (A0 C1 G2 T/U3, else 4).
-void encode_dna_2bit(const uint8_t* data, size_t n, uint8_t* out) {
+static const uint8_t* dna_lut() {
     static uint8_t lut[256];
     static bool init = false;
     if (!init) {
@@ -87,7 +87,62 @@ void encode_dna_2bit(const uint8_t* data, size_t n, uint8_t* out) {
         lut['U'] = lut['u'] = 3;
         init = true;
     }
+    return lut;
+}
+
+void encode_dna_2bit(const uint8_t* data, size_t n, uint8_t* out) {
+    const uint8_t* lut = dna_lut();
     for (size_t i = 0; i < n; i++) out[i] = lut[data[i]];
+}
+
+// Fused contig-stream build: encode contig bytes, concatenate with `gap`
+// sentinel codes between contigs into a pre-sized flat buffer (caller pads
+// the allocation with sentinels), 2-bit-pack the real prefix 4 codes/byte
+// (sentinels pack as 0), and record invalid-base positions (the sparse
+// device upload's exception list).  One pass per output instead of four
+// numpy passes on the ingest threads.
+//
+//   flat_out:   [alloc] uint8, PRE-FILLED with 4 by the caller
+//   packed_out: [packed_len] uint8 with packed_len = (real_len + 3) / 4,
+//               real_len = sum(lengths) + gap * (n_seqs - 1)
+//   exc_out:    [exc_cap] int32 exception positions
+// Returns the exception count (may exceed exc_cap: only the first exc_cap
+// are written; callers treat overflow as "use the dense form").
+int64_t build_contig_stream(const uint8_t* seq, const int64_t* offsets,
+                            const int64_t* lengths, int64_t n_seqs, int64_t gap,
+                            uint8_t* flat_out, uint8_t* packed_out,
+                            int32_t* exc_out, int64_t exc_cap) {
+    const uint8_t* lut = dna_lut();
+    int64_t pos = 0;
+    int64_t n_exc = 0;
+    uint8_t acc = 0;
+    for (int64_t s = 0; s < n_seqs; s++) {
+        const uint8_t* src = seq + offsets[s];
+        const int64_t len = lengths[s];
+        for (int64_t i = 0; i < len; i++) {
+            uint8_t code = lut[src[i]];
+            flat_out[pos] = code;
+            if (code >= 4) {
+                if (n_exc < exc_cap) exc_out[n_exc] = (int32_t)pos;
+                n_exc++;
+                code = 0;  // sentinels pack as 0
+            }
+            acc |= (uint8_t)(code << ((pos & 3) * 2));
+            if ((pos & 3) == 3) { packed_out[pos >> 2] = acc; acc = 0; }
+            pos++;
+        }
+        if (s + 1 < n_seqs) {  // inter-contig sentinel gap (k-1 codes)
+            for (int64_t g = 0; g < gap; g++) {
+                if (n_exc < exc_cap) exc_out[n_exc] = (int32_t)pos;
+                n_exc++;
+                // flat_out already sentinel-filled; sentinel packs as 0
+                if ((pos & 3) == 3) { packed_out[pos >> 2] = acc; acc = 0; }
+                pos++;
+            }
+        }
+    }
+    if (pos & 3) packed_out[pos >> 2] = acc;
+    return n_exc;
 }
 
 }  // extern "C"
