@@ -38,6 +38,22 @@ def result_to_jsonl_bytes(result: Any) -> bytes:
     return json.dumps(result.to_dict(), default=_json_default, separators=(",", ":")).encode() + b"\n"
 
 
+def _open_append_aware(cli: Cli, file: str, header: bytes | None):
+    r"""Open a tabular/JSONL output with the reference's append semantics
+    (ref ``docs/serotyping/outputs.md:20-27``): an existing non-empty file is
+    appended to with the header suppressed, so successive runs can stream
+    into one table; everything else (new file, stdout) writes fresh."""
+    from pathlib import Path
+
+    path = Path(str(file))
+    if str(file) not in ("stdout", "-") and path.is_file() and path.stat().st_size > 0:
+        return cli.open_file(str(file), mode="ab")
+    handle = cli.open_file(str(file), mode="wb")
+    if header:
+        handle.write(header)
+    return handle
+
+
 class ResultExporter:
     r"""Evaluates output flags once and builds the writer pipeline."""
 
@@ -49,19 +65,17 @@ class ResultExporter:
         if tsv_file := getattr(args, "out", getattr(args, "tsv", None)):
             from kaptive_tpu.serotyping import KaptiveRow
 
-            tsv_handle = cli.open_file(tsv_file, mode="wb")
-            tsv_handle.write(KaptiveRow.header())
+            tsv_handle = _open_append_aware(cli, tsv_file, KaptiveRow.header())
             self.writers.append(lambda r: tsv_handle.write(bytes(KaptiveRow.from_result(r))))
 
         if pha4ge_file := getattr(args, "pha4ge", None):
             from kaptive_tpu.serotyping import Pha4geRow
 
-            pha4ge_handle = cli.open_file(str(pha4ge_file), mode="wb")
-            pha4ge_handle.write(Pha4geRow.header())
+            pha4ge_handle = _open_append_aware(cli, str(pha4ge_file), Pha4geRow.header())
             self.writers.append(lambda r: pha4ge_handle.write(bytes(Pha4geRow.from_result(r))))
 
         if json_file := getattr(args, "json", None):
-            json_handle = cli.open_file(json_file, mode="wb")
+            json_handle = _open_append_aware(cli, json_file, None)
             self.writers.append(lambda r: json_handle.write(result_to_jsonl_bytes(r)))
 
         if loci_dir := getattr(args, "loci", None):

@@ -108,3 +108,20 @@ def test_type_screen_only(workdir):
     assert rows[b"g1"][1] == b"KL1"
     assert rows[b"g2"][1] == b"KL3"
     assert float(rows[b"g1"][2]) > 0
+
+
+def test_type_appends_to_existing_outputs(workdir):
+    """Existing non-empty TSV/JSONL outputs are appended to, header suppressed
+    (reference semantics, docs/serotyping/outputs.md)."""
+    out = workdir / "append.tsv"
+    jl = workdir / "append.jsonl"
+    r1 = _run(["type", "TestDB.gbk", "g1.fasta", "-o", "append.tsv", "-j", "append.jsonl"], workdir)
+    assert r1.returncode == 0, r1.stderr.decode()
+    r2 = _run(["type", "TestDB.gbk", "g2.fasta", "-o", "append.tsv", "-j", "append.jsonl"], workdir)
+    assert r2.returncode == 0, r2.stderr.decode()
+    lines = out.read_bytes().splitlines()
+    assert len(lines) == 3  # ONE header + one row per run
+    assert lines[0].startswith(b"Kaptive version") or b"\t" in lines[0]
+    assert sum(1 for ln in lines if ln.startswith(b"Kaptive")) <= 1
+    assert lines[1].split(b"\t")[3] == b"g1" and lines[2].split(b"\t")[3] == b"g2"
+    assert len(jl.read_bytes().splitlines()) == 2
