@@ -62,7 +62,16 @@ def stream_batches(
 ) -> Iterator[list[GenomeAssembly]]:
     r"""Yield fully-ingested assembly batches, prefetching ahead of the consumer."""
     genome_list = list(genomes)
-    groups = [genome_list[i : i + batch_size] for i in range(0, len(genome_list), batch_size)]
+    # Ramp-up: the stream's latency-to-first-dispatch is the FIRST batch's
+    # full ingest (nothing overlaps it), so start with a quarter batch — the
+    # device begins mapping ~4x sooner and every later ingest hides behind
+    # compute.  Compiled shapes are batch-size independent (fixed scan
+    # chunks, frozen DP lattices), so the odd first shape costs nothing.
+    first = max(batch_size // 4, 1) if len(genome_list) > batch_size else batch_size
+    bounds = [0, first] if first < len(genome_list) else [0, len(genome_list)]
+    while bounds[-1] < len(genome_list):
+        bounds.append(min(bounds[-1] + batch_size, len(genome_list)))
+    groups = [genome_list[lo:hi] for lo, hi in zip(bounds, bounds[1:])]
     if not groups:
         return
     # Per-genome ingest is ~70 ms of GIL-releasing numpy plus a BLOCKED H2D
