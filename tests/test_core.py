@@ -221,3 +221,36 @@ def test_native_hostio_parity():
 
     codes = hostio.encode_dna(np.frombuffer(b"ACGTNacgtu", np.uint8))
     np.testing.assert_array_equal(codes, [0, 1, 2, 3, 4, 0, 1, 2, 3, 3])
+
+
+def test_genome_assembly_transparent_decompression(tmp_path):
+    """gz/bz2/xz FASTA files load identically to plain (ref genome.py:105-106)."""
+    import bz2 as bz2lib
+    import gzip
+    import lzma
+
+    import numpy as np
+
+    from kaptive_tpu.core.genome import GenomeAssembly
+
+    rng = np.random.default_rng(17)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fasta = b">c1 extra header words\n%s\n>c2\n%s\n" % (
+        bases[rng.integers(0, 4, 5000)].tobytes(),
+        bases[rng.integers(0, 4, 300)].tobytes(),
+    )
+    plain = tmp_path / "g.fasta"
+    plain.write_bytes(fasta)
+    ref = GenomeAssembly.from_file(plain)
+    for suffix, opener in (("gz", gzip.open), ("bz2", bz2lib.open), ("xz", lzma.open)):
+        path = tmp_path / f"g.fasta.{suffix}"
+        with opener(path, "wb") as fh:
+            fh.write(fasta)
+        ga = GenomeAssembly.from_file(path)
+        assert ga.id == "g"  # extension (incl. compression suffix) stripped
+        assert tuple(ga.contigs.ids) == ("c1", "c2")
+        assert np.array_equal(ga.contigs.seqs, ref.contigs.seqs)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        GenomeAssembly.from_file(tmp_path / "genome.txt")
