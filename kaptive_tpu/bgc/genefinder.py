@@ -221,11 +221,16 @@ def _strand_genes(
 
     # Pad to a shape bucket so the jitted Viterbi compiles once per size
     # class instead of once per distinct contig/strand length.  The pad tail
-    # blocks gene entry (-BIG emission and entry scores), so the optimal path
-    # idles in N there and the decoded prefix is unchanged.
+    # blocks NEW gene entry (entry = -BIG) but lets an in-flight coding path
+    # continue for free (codon emission 0): every coding/indel state has a
+    # zero-cost continuation through the pad, exactly as the unpadded decode
+    # lets a contig-end-truncated gene end in a coding state at no charge —
+    # so the optimum over the real prefix is preserved.  (A -BIG pad emission
+    # would strand such paths and silently drop genes running into the
+    # contig break; regression-tested in test_genefinder.py.)
     Lp = bucket_length(L, minimum=1 << 12)
     if Lp != L:
-        codemit = np.concatenate([codemit, np.full(Lp - L, -BIG, np.float32)])
+        codemit = np.concatenate([codemit, np.zeros(Lp - L, np.float32)])
         entry_b = np.concatenate([entry_b, np.full(Lp - L, -BIG, np.float32)])
         exit_b = np.concatenate(
             [exit_b, np.full(Lp - L, params.exit_other, np.float32)]

@@ -612,7 +612,10 @@ def _chain_core(
         d_min=seg_min(ds), d_max=seg_max(ds),
     )
     # Compact qualifying chains to the front (unique-rank drop-scatter).
-    keep = out["count"] >= min_anchors
+    # Clamp the threshold to >= 1: dead buffer rows carry count 0, and
+    # min_anchors=0 ("keep everything") means every REAL chain, which by
+    # definition has at least one anchor (the host chainer agrees).
+    keep = out["count"] >= max(min_anchors, 1)
     rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
     slot = jnp.where(keep, rank, DROP)
 
@@ -1556,10 +1559,10 @@ def _finish_chunks_device(
         counts_np_all, prefix_np_all = jax.device_get((counts_all, prefix_all))
 
     pendings = []
-    for ci, c0 in enumerate(range(0, n_genomes, SCAN_CHUNK)):
-        chains_d, _, flat_c = launched_chunks[ci]
+    for chunk_i, c0 in enumerate(range(0, n_genomes, SCAN_CHUNK)):
+        chains_d, _, flat_c = launched_chunks[chunk_i]
         hi = min(c0 + SCAN_CHUNK, n_genomes)
-        counts_np = counts_np_all[ci]  # (6, SCAN_CHUNK)
+        counts_np = counts_np_all[chunk_i]  # (6, SCAN_CHUNK)
         out_c = {k2: counts_np[i] for i, k2 in enumerate(_ROW_COUNT_FIELDS)}
         out_c["n_chains"] = counts_np[len(_ROW_COUNT_FIELDS)]
         out_c["n_kept"] = counts_np[len(_ROW_COUNT_FIELDS) + 1]
@@ -1567,7 +1570,7 @@ def _finish_chunks_device(
         # prefix are rare — typical counts are O(100), CHAIN_PREFIX covers
         # 5x that; pull that chunk's full buffer then.
         n_ch_max = int(out_c["n_kept"][: hi - c0].max(initial=0))
-        chains_pull = prefix_np_all[ci]
+        chains_pull = prefix_np_all[chunk_i]
         if n_ch_max > CHAIN_PREFIX:
             _count("map.chain_prefix_miss")
             with phase_timer("map.scan_sync"):

@@ -62,6 +62,8 @@ def stream_batches(
 ) -> Iterator[list[GenomeAssembly]]:
     r"""Yield fully-ingested assembly batches, prefetching ahead of the consumer."""
     genome_list = list(genomes)
+    if not genome_list:
+        return
     # Ramp-up: the stream's latency-to-first-dispatch is the FIRST batch's
     # full ingest (nothing overlaps it), so start with a quarter batch — the
     # device begins mapping ~4x sooner and every later ingest hides behind

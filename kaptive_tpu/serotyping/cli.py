@@ -229,8 +229,9 @@ class Type(Command):
 
         serotyper = Serotyper(db=db)
         batch_size = args.batch_size or auto_batch_size()
-        handle = self.cli.open_file(args.out or "stdout", mode="wb")
-        handle.write(b"Assembly\tBest match locus\tScore\n")
+        handle = _open_append_aware(
+            self.cli, args.out or "stdout", b"Assembly\tBest match locus\tScore\n"
+        )
         genome_list = list(args.genomes)
         batches = range(0, len(genome_list), batch_size)
         for start in self.cli.progress(batches, "🔍 Screening batches..."):

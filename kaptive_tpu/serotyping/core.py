@@ -95,8 +95,17 @@ class Serotyper:
         # On a tunneled TPU every DP dispatch costs round trips, so batch
         # whole phases into few launches (384 covers a 16-assembly batch's
         # typical pair count in one); on CPU keep small batches — the lax
-        # path pays real compute for padding.
+        # path pays real compute for padding.  The batch is rounded to a
+        # multiple of lcm(device-count batch quantum, 8) at CONSTRUCTION so
+        # warmup precompiles exactly the shapes the runtime launches (a
+        # runtime-side round-up would compile fresh shapes on first use and
+        # could break the Pallas kernel's pair-block divisibility).
+        import math
+
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        unit = math.lcm(-(-16 // n_dev) * n_dev, 8)
         dp_batch = 384 if default_device_is_tpu() else 128
+        dp_batch = -(-dp_batch // unit) * unit
         max_prot = int(db.translations.lengths.max()) if len(db.translations) else 64
         self._protein_lattice = SwgLattice.for_max_len(
             max_prot, len_slack=max(16, max_prot // 4), batch=dp_batch
@@ -318,7 +327,17 @@ class Serotyper:
                 codes, ((0, 0), (0, width - codes.shape[1])), constant_values=4
             )
         if self.mesh is not None and int(self.mesh.devices.size) > 1:
+            # Pad the batch to a data-axis multiple (shard_map requires an
+            # evenly divisible leading dim); sentinel rows yield no tallies.
+            data_axis = int(self.mesh.shape.get("data", 1))
+            n = codes.shape[0]
+            pad_to = -(-n // data_axis) * data_axis
+            if pad_to != n:
+                codes = np.pad(
+                    codes, ((0, pad_to - n), (0, 0)), constant_values=4
+                )
             best, weighted = sharded_locus_screen(self.mesh, codes, tables)
+            best, weighted = best[:n], weighted[:n]
         else:
             import jax.numpy as jnp
 

@@ -146,3 +146,33 @@ def test_uniform_params_still_call_clean_genes(rng):
 def test_empty_and_short():
     assert find_genes_hmm(b"") == []
     assert find_genes_hmm(b"ATGAAATAA") == []
+
+
+def test_viterbi_bucket_padding_invariance():
+    """Shape-bucket padding must not change the decode — especially for genes
+    truncated by the contig end (a -BIG pad emission strands in-flight coding
+    paths and silently drops them; the pad uses free codon emissions instead)."""
+    from unittest import mock
+
+    import kaptive_tpu.ops.minimizer as minz
+    from kaptive_tpu.bgc import genefinder as gf
+    from tests.synthetic import make_orf
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    params = gf.GeneHmmParams.uniform(coding_bonus=0.40)
+    cases = []
+    for cut in (0, 1, 2, 10, 40):  # genes abutting the contig end, mid-codon too
+        orf = make_orf(rng, 40)
+        cases.append(bases[rng.integers(0, 4, 200)].tobytes() + orf[: len(orf) - 3 - cut])
+    cases.append(  # interior gene control
+        bases[rng.integers(0, 4, 150)].tobytes() + make_orf(rng, 50)
+        + bases[rng.integers(0, 4, 150)].tobytes()
+    )
+    for contig in cases:
+        codes = gf._DNA_LUT[np.frombuffer(contig, np.uint8)]
+        padded = gf._strand_genes(codes, params, min_codons=20)
+        with mock.patch.object(minz, "bucket_length", lambda n, minimum=0: n):
+            unpadded = gf._strand_genes(codes, params, min_codons=20)
+        assert padded == unpadded
+        assert padded, "end-truncated gene must not be dropped"
