@@ -361,3 +361,23 @@ def test_batch_equals_single(db_and_truth):
         assert bytes(KaptiveRow.from_result(single)) == bytes(
             KaptiveRow.from_result(batched_result)
         )
+
+
+def test_diverged_draft_assembly_bit_identical(db_and_truth):
+    """The bench's 'draft' composition at golden strictness: a diverged
+    (0.5% subs) locus split across contigs inside a many-contig assembly —
+    low-depth-style input where mapper coordinate drift under substitutions
+    plus multi-contig reconstruction interact; full KaptiveRow byte equality."""
+    from synthetic import mutate_dna
+
+    db, truth, rng = db_and_truth
+    locus = mutate_dna(rng, truth["loci"]["KL2"]["seq"], sub_rate=0.005)
+    cut = len(locus) // 2
+    parts = [random_dna(rng, 2500) + locus[:cut], locus[cut:] + random_dna(rng, 2500)]
+    fasta = b"".join(b">p%d\n%s\n" % (i, p) for i, p in enumerate(parts)) + b"".join(
+        b">j%d\n%s\n" % (i, random_dna(rng, int(rng.integers(150, 1200))))
+        for i in range(20)
+    )
+    our_result, ref_result = _both_results(db, _assemble(fasta, "divdraft"))
+    _assert_match(our_result, ref_result)
+    assert our_result.best_locus_name == "KL2"
