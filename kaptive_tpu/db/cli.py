@@ -214,43 +214,36 @@ class Extract(Command):
         return parser
 
 
-class Loci(Command):
+class _ExtractRecords(Command):
+    r"""Shared extract implementation: subclasses name the database record set."""
+
+    record_attr = ""  # Database attribute holding the Sequences batch
+    noun = ""  # human label for messages
+
+    def __call__(self, args: argparse.Namespace) -> None:
+        self.cli.msg(f"💽 Loading database {args.database}...")
+        from kaptive_tpu.db import DatabaseManager
+
+        db = DatabaseManager.get(args.database)
+        out_handle = self.cli.open_file(args.out, "wb")
+        self.cli.msg(f"📤 Extracting {self.noun}...")
+        out_handle.write(getattr(db, self.record_attr).to_fasta(args.use_indices))
+        self.cli.msg(f"✅ Written {self.noun} sequences to {args.out}.")
+
+
+class Loci(_ExtractRecords):
     r"""🧬 Extract locus nucleotide sequences in FASTA format."""
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        self.cli.msg(f"💽 Loading database {args.database}...")
-        from kaptive_tpu.db import DatabaseManager
-
-        db = DatabaseManager.get(args.database)
-        out_handle = self.cli.open_file(args.out, "wb")
-        self.cli.msg("📤 Extracting loci...")
-        out_handle.write(db.loci.to_fasta(args.use_indices))
-        self.cli.msg(f"✅ Written locus sequences to {args.out}.")
+    record_attr, noun = "loci", "locus"
 
 
-class Genes(Command):
+class Genes(_ExtractRecords):
     r"""🧩 Extract gene coding sequences in FASTA format."""
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        self.cli.msg(f"💽 Loading database {args.database}...")
-        from kaptive_tpu.db import DatabaseManager
-
-        db = DatabaseManager.get(args.database)
-        out_handle = self.cli.open_file(args.out, "wb")
-        self.cli.msg("📤 Extracting genes...")
-        out_handle.write(db.genes.to_fasta(args.use_indices))
-        self.cli.msg(f"✅ Written gene sequences to {args.out}.")
+    record_attr, noun = "genes", "gene"
 
 
-class Proteins(Command):
+class Proteins(_ExtractRecords):
     r"""🧶 Extract translated protein sequences in FASTA format."""
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        self.cli.msg(f"💽 Loading database {args.database}...")
-        from kaptive_tpu.db import DatabaseManager
-
-        db = DatabaseManager.get(args.database)
-        out_handle = self.cli.open_file(args.out, "wb")
-        self.cli.msg("📤 Extracting proteins...")
-        out_handle.write(db.translations.to_fasta(args.use_indices))
-        self.cli.msg(f"✅ Written protein sequences to {args.out}.")
+    record_attr, noun = "translations", "protein"
