@@ -220,7 +220,10 @@ MIN_DENSITY_CAP = 4  # minimizer capacity = L / MIN_DENSITY_CAP (true density ~2
 # genome) rather than ~20x; overflow fires the counted host fallback.
 CANDIDATE_CAP = 1 << 14  # per-genome bloom-surviving minimizer capacity
 ANCHOR_CAP = 1 << 15  # per-genome anchor capacity (transferred arrays scale with this)
-DEVICE_MAX_OCC = 1024  # per-minimizer gene-table occurrence cap in the fused device step
+DEVICE_MAX_OCC = 1024  # ceiling on MapperParams.max_occ in the fused device
+# step (the device paths honour min(params.max_occ, DEVICE_MAX_OCC) so a
+# non-default setting behaves identically on the device and host-fallback
+# paths; buffers are sized for the ceiling)
 BUCKET_SHIFT = 12  # hash-prefix bucket width for the device table lookup (2^20 buckets)
 BLOOM_BITS = 27  # membership bitmap size (2^27 bits = 16 MB); FP rate = T / 2^27
 
@@ -793,9 +796,6 @@ def chain_anchors(
         fn.at(out, chain_ids, vals)
         return out
 
-    c_gene = np.zeros(n_chains, dtype=np.int64)
-    c_ctg = np.zeros(n_chains, dtype=np.int64)
-    c_strand = np.zeros(n_chains, dtype=np.int64)
     first_of_chain = np.flatnonzero(brk)
     c_gene = gs[first_of_chain]
     c_ctg = cs[first_of_chain]
@@ -1149,6 +1149,12 @@ def _alignments_from_extension(
     np.maximum.at(best_per_gene, gene, scores)
     not_best = scores < best_per_gene[gene]
     np.maximum.at(second_per_gene, gene[not_best], scores[not_best])
+    # An exact tie for best (repeat gene copies) means the runner-up margin is
+    # zero: count best-score hits per gene and treat >1 as runner-up == best,
+    # so tied placements report mapq ~0 instead of maximum confidence.
+    n_best = np.zeros(int(gene.max()) + 1, dtype=np.int64)
+    np.add.at(n_best, gene[~not_best], 1)
+    second_per_gene = np.where(n_best > 1, best_per_gene, second_per_gene)
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(
             best_per_gene[gene] > 0, second_per_gene[gene] / np.maximum(best_per_gene[gene], 1), 0.0
@@ -1271,7 +1277,8 @@ def map_genes_batch(
                 mesh, packed, bits, gene_index._cache[key],
                 starts_pad, gene_index.lengths.astype(np.int32),
                 length=L, cap_mins=cap_mins, cap_anchors=cap_anchors,
-                max_occ=DEVICE_MAX_OCC, k=gene_index.k, w=gene_index.w,
+                max_occ=min(params.max_occ, DEVICE_MAX_OCC),
+                k=gene_index.k, w=gene_index.w,
                 cap_chains=CHAIN_CAP,
                 max_diag_drift=params.max_diag_drift,
                 max_anchor_gap=params.max_anchor_gap,
@@ -1366,7 +1373,8 @@ def map_genes_batch(
                 anchors_d, counts_d = _match_rows_batch(
                     rows_h, rows_a, rows_c, th, tg, tp, ts, bs, rl,
                     gene_index.device_bloom,
-                    CANDIDATE_CAP, cap_anchors, iters, DEVICE_MAX_OCC,
+                    CANDIDATE_CAP, cap_anchors, iters,
+                    min(params.max_occ, DEVICE_MAX_OCC),
                 )
                 # Chain on device: the 64K-anchor buffers stay resident and
                 # only ~CHAIN_CAP chain descriptors per genome cross the

@@ -57,7 +57,9 @@ def bucket_length(n: int, minimum: int = 1 << 16) -> int:
     linear in the padded length, and pow2 buckets padded a 5.3 Mb genome 58%
     — 1 MiB steps cap the waste at <20% while adding at most ~8 compiled
     size classes per order of magnitude).  1 MiB is a multiple of the Pallas
-    scan tile (131072 positions), so every bucket stays kernel-eligible.
+    scan tile (131072 positions), so every LARGE bucket stays
+    kernel-eligible; small pow2 buckets below one tile use the XLA scan
+    (``supports_pallas_scan`` gates on tile divisibility).
     """
     step = 1 << 20
     if n > step:

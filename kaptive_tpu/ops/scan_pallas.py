@@ -278,11 +278,19 @@ def rowcompact_scan_tpu(codes_padded: jax.Array, k: int, w: int):
             :func:`pad_codes_for_scan`).
 
     Returns:
-        (hashes (B, R, 32) uint32, aux (B, R, 32) int32, counts (B, R, 1)).
+        (hashes (B, R, 64) uint32, aux (B, R, 64) int32, counts (B, R, 1)).
     """
     B, r_pad, _ = codes_padded.shape
     r_total = r_pad - 2 * HALO_ROWS
     n_tiles = r_total // TILE_ROWS
+    if n_tiles * TILE_ROWS != r_total:
+        # A silent floor would leave the output buffers uninitialized (zero
+        # grid steps for sub-tile streams) and read as garbage minimizers;
+        # forced-impl callers must hit this loudly instead.
+        raise ValueError(
+            f"stream rows ({r_total}) must be a multiple of TILE_ROWS "
+            f"({TILE_ROWS}); bucket-pad the stream or use the XLA scan"
+        )
     kern = functools.partial(_rowcompact_kernel, k=k, w=w)
     return pl.pallas_call(
         kern,

@@ -365,9 +365,12 @@ def banded_swg_lax(
 
     ``w_pad`` must satisfy ``w_pad >= 2*max(k_locals)+3``; callers bucket pairs
     so that padding stays tight.  ``t_codes`` must be pre-padded on both sides
-    by ``t_pad >= w_pad + 2`` sentinel elements (value 0 is fine — the band
-    masks exclude out-of-range columns).
+    by EXACTLY ``t_pad == w_pad + 2`` sentinel elements (value 0 is fine — the
+    band masks exclude out-of-range columns): the band fill derives its target
+    window base from the band geometry, so a larger pad would misalign the
+    fill against the traceback.
     """
+    assert t_pad == w_pad + 2, "banded SWG requires t_pad == w_pad + 2"
 
     # Inputs arrive uint8 (cheap transfer); compute in int32 on device.
     q_codes = q_codes.astype(jnp.int32)

@@ -296,6 +296,7 @@ def _swg_pallas_fill(
     n_col: int,
     interpret: bool,
 ):
+    assert t_pad == w_pad + 2, "banded SWG requires t_pad == w_pad + 2"
     del t_pad  # band geometry derives the window base itself (pad = w_pad + 2)
     B = q_codes.shape[0]
     T = t_codes.shape[1]

@@ -120,9 +120,14 @@ class ShardedJsonlWriter:
                         continue  # torn tail line from an interrupted run
         self._handle: IO[bytes] = self.path.open("ab")
         # A crash can leave a torn final line; terminate it so appended
-        # records stay line-delimited (the torn record is re-typed).
-        if self.path.stat().st_size and not self.path.read_bytes().endswith(b"\n"):
-            self._handle.write(b"\n")
+        # records stay line-delimited (the torn record is re-typed).  Check
+        # only the last byte — re-reading a multi-hundred-MB shard here would
+        # double the resume cost.
+        if self.path.stat().st_size:
+            with self.path.open("rb") as fh:
+                fh.seek(-1, 2)
+                if fh.read(1) != b"\n":
+                    self._handle.write(b"\n")
 
     def should_skip(self, genome_id: str) -> bool:
         return genome_id in self.written

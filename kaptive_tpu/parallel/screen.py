@@ -128,11 +128,23 @@ def sharded_locus_screen(
     n_genes = tables.gene_locus_onehot.shape[0]
     model = mesh.shape["model"]
     t = len(tables.table_hashes)
-    t_pad = ((t + model - 1) // model) * model
-    th = np.full(t_pad, np.uint32(0xFFFFFFFF), dtype=np.uint32)
-    th[:t] = tables.table_hashes
-    tg = np.zeros(t_pad, dtype=np.int32)
-    tg[:t] = tables.table_genes
+    # Hash-run-aligned shard cuts (padded to a common length with the max
+    # hash): a run straddling a cut would be tallied with the per-shard
+    # MAX_OCC cap on both sides and psum to more than the single-device cap.
+    h_full = tables.table_hashes
+    cuts = [round(i * t / model) for i in range(model + 1)]
+    for i in range(1, model):
+        c = cuts[i]
+        while 0 < c < t and h_full[c] == h_full[c - 1]:
+            c += 1
+        cuts[i] = max(min(c, t), cuts[i - 1])
+    shard_len = max(max(cuts[i + 1] - cuts[i] for i in range(model)), 1)
+    th = np.full(model * shard_len, np.uint32(0xFFFFFFFF), dtype=np.uint32)
+    tg = np.zeros(model * shard_len, dtype=np.int32)
+    for si in range(model):
+        lo, hi = cuts[si], cuts[si + 1]
+        th[si * shard_len : si * shard_len + (hi - lo)] = h_full[lo:hi]
+        tg[si * shard_len : si * shard_len + (hi - lo)] = tables.table_genes[lo:hi]
 
     @functools.partial(
         shard_map,

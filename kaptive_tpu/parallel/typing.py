@@ -74,6 +74,15 @@ class ShardedGeneTable:
         h = ms.hashes  # sorted
         n = len(h)
         cuts = [round(i * n / model) for i in range(model + 1)]
+        # Align interior cuts to hash-run boundaries: a run longer than
+        # max_occ straddling a cut would be capped per shard and merge to up
+        # to 2x the single-device occurrence cap, breaking bit-identity with
+        # the single-device matcher.
+        for i in range(1, model):
+            c = cuts[i]
+            while 0 < c < n and h[c] == h[c - 1]:
+                c += 1
+            cuts[i] = max(min(c, n), cuts[i - 1])
         t_shard = max(max(cuts[i + 1] - cuts[i] for i in range(model)), 1)
         n_buckets = 1 << (32 - BUCKET_SHIFT)
         n_words = 1 << (BLOOM_BITS - 5)
