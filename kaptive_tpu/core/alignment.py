@@ -105,6 +105,21 @@ class Cigars:
                            np.where(ops == 2, (self.data & ~np.uint32(0xF)) | 1, self.data))
         return Cigars(swapped.astype(np.uint32), self.offsets, self.lengths)
 
+    def to_dict(self) -> dict[str, list]:
+        return {
+            "data": self.data.tolist(),
+            "offsets": self.offsets.tolist(),
+            "lengths": self.lengths.tolist(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> Cigars:
+        return cls(
+            np.array(d["data"], dtype=np.uint32),
+            np.array(d["offsets"], dtype=np.int32),
+            np.array(d["lengths"], dtype=np.int32),
+        )
+
     @classmethod
     def from_lists(cls, cigar_lists: list[npt.NDArray[np.uint32]]) -> Cigars:
         if not cigar_lists:
@@ -210,7 +225,7 @@ class Alignments(SoAContainer):
     mismatches: npt.NDArray[np.int32] = soa(np.int32)
     scores: npt.NDArray[np.int32] = soa(np.int32)
     qualities: npt.NDArray[np.uint8] = soa(np.uint8)
-    cigars: Cigars = soa(Cigars, kind="container")
+    cigars: Cigars = soa(Cigars, kind="container", optional=True)
     is_primary: npt.NDArray[np.bool_] = soa(bool)
     is_supplementary: npt.NDArray[np.bool_] = soa(bool)
     is_spliced: npt.NDArray[np.bool_] = soa(bool)

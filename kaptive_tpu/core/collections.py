@@ -55,7 +55,13 @@ def as_bytes_array(val: Any) -> npt.NDArray[np.bytes_]:
     return np.array(encoded, dtype=np.bytes_)
 
 
-def soa(spec: Any = None, *, kind: str = "array", default: Any = dataclasses.MISSING):
+def soa(
+    spec: Any = None,
+    *,
+    kind: str = "array",
+    default: Any = dataclasses.MISSING,
+    optional: bool = False,
+):
     r"""Declare one field of a :class:`SoAContainer` dataclass.
 
     ``kind`` selects the field's batch behaviour and ``spec`` parameterises it:
@@ -68,8 +74,15 @@ def soa(spec: Any = None, *, kind: str = "array", default: Any = dataclasses.MIS
     - ``"shared"``: a batch-level value (a vocabulary tuple, a name) carried
       through indexing unchanged; ``concat`` requires it equal across inputs;
       ``spec`` is the value ``empty()`` uses.
+
+    ``optional`` marks the field as defaultable in ``from_dict`` (older
+    serialisations may omit it); required fields raise ``KeyError`` when
+    missing so truncated/corrupt records fail loudly instead of silently
+    constructing ragged-inconsistent containers.
     """
-    kw: dict[str, Any] = {"metadata": {"soa_kind": kind, "soa_spec": spec}}
+    kw: dict[str, Any] = {
+        "metadata": {"soa_kind": kind, "soa_spec": spec, "soa_optional": optional}
+    }
     if default is not dataclasses.MISSING:
         kw["default"] = default
     return dataclasses.field(**kw)
@@ -94,16 +107,25 @@ class SoAContainer:
         if spec is None:
             rows: list[tuple[str, str, Any]] = []
             shared: list[tuple[str, Any]] = []
+            optional: set[str] = set()
             for f in dataclasses.fields(cls):  # type: ignore[arg-type]
                 kind = f.metadata.get("soa_kind", "array")
                 fspec = f.metadata.get("soa_spec")
+                if f.metadata.get("soa_optional"):
+                    optional.add(f.name)
                 if kind == "shared":
                     shared.append((f.name, fspec))
                 else:
                     rows.append((f.name, kind, fspec))
             spec = (tuple(rows), tuple(shared))
             cls._soa_spec_cache = spec  # type: ignore[attr-defined]
+            cls._soa_optional_cache = frozenset(optional)  # type: ignore[attr-defined]
         return spec
+
+    @classmethod
+    def _soa_optional(cls) -> frozenset[str]:
+        cls._soa_spec()
+        return cls.__dict__.get("_soa_optional_cache", frozenset())
 
     def __post_init__(self) -> None:
         for name, kind, _ in self._soa_spec()[0]:
@@ -179,9 +201,12 @@ class SoAContainer:
     @classmethod
     def from_dict(cls, data: dict[str, Any]) -> Self:
         rows, shared = cls._soa_spec()
+        optional = cls._soa_optional()
         kw: dict[str, Any] = {}
         for name, kind, fspec in rows:
-            val = data.get(name)
+            # Required columns raise KeyError when absent — a truncated or
+            # corrupt record must fail loudly, not build a ragged container.
+            val = data.get(name) if name in optional else data[name]
             if kind == "container":
                 kw[name] = fspec.from_dict(val) if val is not None else fspec.empty()
             elif kind == "bytes":

@@ -16,7 +16,7 @@ from typing import Any, Self
 import numpy as np
 import numpy.typing as npt
 
-from kaptive_tpu.core.collections import SoAContainer, soa
+from kaptive_tpu.core.collections import SoAContainer, as_bytes_array, soa
 
 
 class DatabaseError(Exception):
@@ -124,7 +124,7 @@ class Phenotypes(SoAContainer):
     def from_dict(cls, data: dict) -> Phenotypes:
         extra_masks = np.array(data["extra_masks"], dtype=np.int8)
         return cls(
-            ids=np.array([p.encode("utf-8") for p in data["ids"]], dtype="S32"),
+            ids=as_bytes_array(data["ids"]),
             locus_masks=np.array(data["locus_masks"], dtype=bool),
             extra_masks=extra_masks,
             inactive_masks=np.array(data["inactive_masks"], dtype=np.int8),

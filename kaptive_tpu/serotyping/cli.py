@@ -224,6 +224,20 @@ class Type(Command):
 
     def _screen_only(self, args: argparse.Namespace, db) -> None:
         r"""Approximate triage mode: one jitted screen pass per batch, 3-col TSV."""
+        # The screen produces no gene table / sequences / full result, so any
+        # other output flag would be silently unhonoured — reject loudly.
+        conflicting = [
+            flag for flag, attr in (
+                ("--json", "json"), ("--pha4ge", "pha4ge"), ("--loci", "loci"),
+                ("--genes", "genes"), ("--proteins", "proteins"), ("--plots", "plots"),
+            )
+            if getattr(args, attr, None)
+        ]
+        if conflicting:
+            self.parser.error(
+                f"--screen-only writes only the 3-column triage TSV; remove "
+                f"{', '.join(conflicting)} or run a full typing pass"
+            )
         from kaptive_tpu.parallel.pipeline import auto_batch_size
         from kaptive_tpu.serotyping import Serotyper
 

@@ -320,37 +320,48 @@ class Serotyper:
         if self._screen_tables is None:
             self._screen_tables = ScreenTables.from_database(self._db)
         tables = self._screen_tables
+        n = len(assemblies)
         codes = encode_assemblies_to_batch(assemblies)
         width = bucket_length(codes.shape[1])
-        if width != codes.shape[1]:  # stable jit shapes across batches
+        # Stable jit shapes across batches: bucket the width axis, and pad the
+        # batch axis to a power of two so a trailing partial batch reuses a
+        # compiled program instead of compiling a fresh one (sentinel rows
+        # yield no tallies).
+        b_pad = 1
+        while b_pad < n:
+            b_pad *= 2
+        if self.mesh is not None and int(self.mesh.devices.size) > 1:
+            # shard_map also needs the leading dim divisible by the data axis.
+            data_axis = int(self.mesh.shape.get("data", 1))
+            b_pad = -(-b_pad // data_axis) * data_axis
+        if (b_pad, width) != codes.shape:
             codes = np.pad(
-                codes, ((0, 0), (0, width - codes.shape[1])), constant_values=4
+                codes,
+                ((0, b_pad - n), (0, width - codes.shape[1])),
+                constant_values=4,
             )
         if self.mesh is not None and int(self.mesh.devices.size) > 1:
-            # Pad the batch to a data-axis multiple (shard_map requires an
-            # evenly divisible leading dim); sentinel rows yield no tallies.
-            data_axis = int(self.mesh.shape.get("data", 1))
-            n = codes.shape[0]
-            pad_to = -(-n // data_axis) * data_axis
-            if pad_to != n:
-                codes = np.pad(
-                    codes, ((0, pad_to - n), (0, 0)), constant_values=4
-                )
             best, weighted = sharded_locus_screen(self.mesh, codes, tables)
-            best, weighted = best[:n], weighted[:n]
         else:
+            best, weighted = locus_screen_batch(
+                codes, *self._screen_device_tables(), n_genes=len(self._db.genes)
+            )
+        return assemblies, np.asarray(best)[:n], np.asarray(weighted)[:n]
+
+    def _screen_device_tables(self):
+        r"""Device copies of the screen tables, uploaded once (cached)."""
+        if getattr(self, "_screen_dev", None) is None:
             import jax.numpy as jnp
 
-            best, weighted = locus_screen_batch(
-                jnp.asarray(codes),
-                jnp.asarray(tables.table_hashes),
-                jnp.asarray(tables.table_genes),
-                jnp.asarray(tables.gene_locus_onehot),
-                jnp.asarray(tables.expected_per_locus),
-                jnp.asarray(tables.gene_minimizer_counts),
-                n_genes=len(self._db.genes),
+            t = self._screen_tables
+            self._screen_dev = tuple(
+                jnp.asarray(x)
+                for x in (
+                    t.table_hashes, t.table_genes, t.gene_locus_onehot,
+                    t.expected_per_locus, t.gene_minimizer_counts,
+                )
             )
-        return assemblies, np.asarray(best), np.asarray(weighted)
+        return self._screen_dev
 
     def warmup(
         self, genome_length: int = 5_500_000, batch_size: int = 8, seed: int = 0

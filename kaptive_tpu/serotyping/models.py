@@ -82,12 +82,12 @@ class GeneHits(SoAContainer):
     is_expected: npt.NDArray[np.bool_] = soa(bool)
     is_inside: npt.NDArray[np.bool_] = soa(bool)
     is_extra: npt.NDArray[np.bool_] = soa(bool)
-    expected_positions: npt.NDArray[np.int32] = soa(np.int32)
-    expected_strands: npt.NDArray[np.int8] = soa(np.int8)
-    gene_ids: npt.NDArray[np.bytes_] = soa(kind="bytes")
-    cluster_names: npt.NDArray[np.bytes_] = soa(kind="bytes")
-    product_descriptions: npt.NDArray[np.bytes_] = soa(kind="bytes")
-    coverages: npt.NDArray[np.float32] = soa(np.float32)
+    expected_positions: npt.NDArray[np.int32] = soa(np.int32, optional=True)
+    expected_strands: npt.NDArray[np.int8] = soa(np.int8, optional=True)
+    gene_ids: npt.NDArray[np.bytes_] = soa(kind="bytes", optional=True)
+    cluster_names: npt.NDArray[np.bytes_] = soa(kind="bytes", optional=True)
+    product_descriptions: npt.NDArray[np.bytes_] = soa(kind="bytes", optional=True)
+    coverages: npt.NDArray[np.float32] = soa(np.float32, optional=True)
 
     @property
     def frames(self) -> npt.NDArray[np.int32]:
