@@ -129,6 +129,8 @@ def build_contig_stream(
     len_c = np.ascontiguousarray(lengths, dtype=np.int64)
     n = len(off_c)
     real = int(len_c.sum()) + gap * max(n - 1, 0)
+    if alloc < real:
+        raise ValueError(f"alloc ({alloc}) must cover the sentinel-gapped stream ({real})")
     flat = np.full(alloc, 4, dtype=np.uint8)
     packed = np.zeros((real + 3) // 4, dtype=np.uint8)
     exc = np.empty(max(exc_cap, 1), dtype=np.int32)

@@ -83,6 +83,7 @@ class Figure:
       document.querySelectorAll('.'+el.getAttribute('data-target')).forEach(
         function(g){g.style.display=off?'none':'';});});});
   var tip=document.createElement('div');tip.id='tip';document.body.appendChild(tip);
+  document.querySelectorAll('svg [data-tip] title').forEach(function(t){t.remove();});
   document.querySelectorAll('[data-tip]').forEach(function(el){
     el.addEventListener('mousemove',function(e){
       tip.textContent=el.getAttribute('data-tip');tip.style.display='block';

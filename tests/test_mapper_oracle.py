@@ -227,14 +227,23 @@ def _device_hits(alns):
 
 
 def test_hit_sets_match_oracle(panel):
-    """Neither a dropped nor an invented (gene, contig, strand) mapping."""
+    """Neither a dropped, invented, nor DUPLICATED (gene, contig, strand) mapping."""
+    from collections import Counter
+
     _, _, _, _, alns_list, chains_list = panel
     total = 0
     for alns, chains in zip(alns_list, chains_list):
-        dev = {(h["gene"], h["ctg"], h["strand"]) for h in _device_hits(alns)}
-        ora = {(c["gene"], c["ctg"], c["strand"]) for c in chains}
-        assert dev == ora, (sorted(ora - dev)[:5], sorted(dev - ora)[:5])
-        total += len(dev)
+        dev_counts = Counter((h["gene"], h["ctg"], h["strand"]) for h in _device_hits(alns))
+        ora_counts = Counter((c["gene"], c["ctg"], c["strand"]) for c in chains)
+        assert set(dev_counts) == set(ora_counts), (
+            sorted(set(ora_counts) - set(dev_counts))[:5],
+            sorted(set(dev_counts) - set(ora_counts))[:5],
+        )
+        # Post-dedup the mapper may merge chains but must never invent extra
+        # hits for a mapping beyond what the oracle chained.
+        for key, n_dev in dev_counts.items():
+            assert n_dev <= ora_counts[key], (key, n_dev, ora_counts[key])
+        total += len(dev_counts)
     assert total >= 1000  # the panel really exercised >=1k planted genes
 
 
@@ -245,13 +254,17 @@ def test_hit_placement_inside_oracle_windows(panel):
     for alns, chains in zip(alns_list, chains_list):
         windows = defaultdict(list)
         for c in chains:
-            glen_proxy = c["q_max"] + K  # lower bound on gene length
             t_lo = max(c["t_min"] - c["q_min"] - WINDOW_PAD, 0)
             windows[(c["gene"], c["ctg"], c["strand"])].append((t_lo, c))
+        glens = panel[0].genes.lengths
         for h in _device_hits(alns):
             cands = windows[(h["gene"], h["ctg"], h["strand"])]
+            glen = int(glens[h["gene"]])
+            # The chain's projected extension window upper bound (the same
+            # formula the oracle/mapper project with).
             assert any(
-                h["t_start"] >= t_lo and h["t_end"] <= c["t_max"] + 10_000
+                h["t_start"] >= t_lo
+                and h["t_end"] <= c["t_max"] + K + (glen - c["q_max"] - K) + WINDOW_PAD
                 for t_lo, c in cands
             ), h
             checked += 1
@@ -272,11 +285,16 @@ def test_sampled_hits_exact_vs_dp_oracle(panel):
             for h in _device_hits(alns)
         }
         solo = [(key, cs[0]) for key, cs in by_key.items() if len(cs) == 1]
+        n_dev_per_key = defaultdict(int)
+        for h in _device_hits(alns):
+            n_dev_per_key[(h["gene"], h["ctg"], h["strand"])] += 1
         take = rng.permutation(len(solo))[:12]
         contig_codes = [_CODE[np.frombuffer(s, np.uint8)] for s in contig_sets[g_i]]
         for t_i in take:
             key, chain = solo[t_i]
             want = oracle_extend(chain, gene_codes[key[0]], contig_codes[key[1]])
+            if key in hits:  # a solo chain must yield exactly one device hit
+                assert n_dev_per_key[key] == 1, (key, n_dev_per_key[key])
             if want["score"] < MIN_SCORE:
                 assert key not in hits
                 continue
