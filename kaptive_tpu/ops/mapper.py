@@ -549,7 +549,14 @@ _match_rows_batch = jax.jit(
 
 CHAIN_CAP = 4096  # per-genome chain capacity for the device chainer
 CHAIN_PREFIX = 512  # chain rows pulled in the batched D2H (full pull past this)
-SCAN_CHUNK = 8  # genomes per scan/match/chain dispatch (fixed: batch-size-proof shapes)
+
+
+# Genomes per scan/match/chain dispatch (fixed: batch-size-proof shapes).
+# 8 measured faster than 16 on the tunneled chip (11.5-12.4 vs 10.0 asm/s
+# medians): two chunks per 16-genome batch let the first chunk's extension
+# DP dispatch overlap the second chunk's scan, which one monolithic chunk
+# forfeits.
+SCAN_CHUNK = 8
 
 _CHAIN_FIELDS = (
     "gene", "ctg", "strand", "count",
