@@ -181,7 +181,7 @@ def splitmix64(x: npt.NDArray[np.uint64]) -> npt.NDArray[np.uint64]:
         return x ^ (x >> np.uint64(31))
 
 
-def _segment_mask(lengths: npt.NDArray, span: int) -> tuple[np.ndarray, np.ndarray]:
+def _segment_mask(lengths: npt.NDArray) -> tuple[np.ndarray, np.ndarray]:
     r"""For flat concatenated segments: (seg_ids, within_idx) per element."""
     n = int(np.sum(lengths))
     seg_ids = np.repeat(np.arange(len(lengths)), lengths)
@@ -240,17 +240,30 @@ class BaseKmerIndex:
 
         q_seq = qr["seq_idx"][rep].astype(np.int64)
         t_seq = tr["seq_idx"][flat_idx].astype(np.int64)
+        # Sparse tally over the (query, target) pairs actually present: a
+        # dense (Q x T) table is O(Q*T) memory — gigabytes for proteome-scale
+        # queries against the full protein DB (the reference kernel is O(T)
+        # per thread, ref :1232-1282).
         key = q_seq * self.n_seqs + t_seq
-        tally = np.zeros(q.n_seqs * self.n_seqs, dtype=np.int64)
-        np.add.at(tally, key, 1)
+        uniq, inv = np.unique(key, return_inverse=True)
+        tallies = np.bincount(inv)
         # Anchor = first co-hit in walk order (query records in insertion order).
-        first_hit = np.full(q.n_seqs * self.n_seqs, len(rep), dtype=np.int64)
-        np.minimum.at(first_hit, key, np.arange(len(rep)))
-
-        tally2 = tally.reshape(q.n_seqs, self.n_seqs)
-        best_t = np.argmax(tally2, axis=1)  # first max on ties, t ascending (ref :1270-1276)
-        max_s = tally2[np.arange(q.n_seqs), best_t]
-        hit_idx = first_hit.reshape(q.n_seqs, self.n_seqs)[np.arange(q.n_seqs), best_t]
+        first_hit = np.full(len(uniq), len(rep), dtype=np.int64)
+        np.minimum.at(first_hit, inv, np.arange(len(rep)))
+        u_q = uniq // self.n_seqs
+        u_t = uniq % self.n_seqs
+        # Best target per query: highest tally, smallest target index on ties
+        # (the dense argmax semantics, ref :1270-1276).
+        order = np.lexsort((u_t, -tallies, u_q))
+        at_front = np.ones(len(order), dtype=bool)
+        at_front[1:] = u_q[order][1:] != u_q[order][:-1]
+        lead = order[at_front]
+        best_t = np.zeros(q.n_seqs, dtype=np.int64)
+        max_s = np.zeros(q.n_seqs, dtype=np.int64)
+        hit_idx = np.zeros(q.n_seqs, dtype=np.int64)
+        best_t[u_q[lead]] = u_t[lead]
+        max_s[u_q[lead]] = tallies[lead]
+        hit_idx[u_q[lead]] = first_hit[lead]
         safe = np.clip(hit_idx, 0, max(len(rep) - 1, 0))
         anchors = np.where(
             max_s > 0,
@@ -302,7 +315,7 @@ class FracMinHashIndex(BaseKmerIndex):
         max_val = np.uint64(1) << np.uint64(bits_per_char)
         bad = (vals >= max_val).astype(np.int64)
 
-        seg_ids, within = _segment_mask(batch.lengths, k)
+        seg_ids, within = _segment_mask(batch.lengths)
         seg_len = np.repeat(batch.lengths, batch.lengths)
 
         # Packed fwd/rev k-mers ending at each position via k shifted adds.
@@ -387,7 +400,7 @@ class RandstrobeIndex(BaseKmerIndex):
         kernel_lut = lut if lut is not None else mmseqs12_lut()
         vals = kernel_lut[batch.seqs].astype(np.uint64)
         n_total = len(vals)
-        seg_ids, within = _segment_mask(batch.lengths, k)
+        seg_ids, within = _segment_mask(batch.lengths)
         seg_len = np.repeat(batch.lengths, batch.lengths)
 
         with np.errstate(over="ignore"):

@@ -139,7 +139,15 @@ def iter_records(handle: IO[bytes]) -> Iterator[Record]:
                 pending_location = True
             elif line[:21].strip() == "" and len(line) > 21:
                 content = line[21:]
-                if content.startswith("/"):
+                # A '/' only starts a NEW qualifier when the current quoted
+                # value is closed: a wrapped value whose continuation line
+                # happens to begin with '/' must keep accumulating, or the
+                # value is truncated and a bogus qualifier fabricated.
+                in_open_quote = (
+                    cur_qual_key is not None
+                    and "".join(cur_qual_val).count('"') % 2 == 1
+                )
+                if content.startswith("/") and not in_open_quote:
                     # New qualifier.
                     flush_qualifier()
                     if pending_location and cur_feature is not None:

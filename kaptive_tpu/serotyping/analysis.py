@@ -204,7 +204,6 @@ class Reconstruction:
     is_expected: npt.NDArray[np.bool_]
     is_extra: npt.NDArray[np.bool_]
     is_inside: npt.NDArray[np.bool_]
-    coverages: npt.NDArray[np.float32]  # percent, from phase-1 totals
     # Piece geometry, ordered by (assembly, expected-gene mean position):
     piece_asm: npt.NDArray[np.int64]
     piece_ctg: npt.NDArray[np.int64]
@@ -249,9 +248,6 @@ def reconstruct_loci(db, hits: HitTable, pick: LocusPick, n_asm: int) -> Reconst
 
     is_extra = db.extra_genes[hits.gene]
     is_expected = (db.gene_locus_indices[hits.gene] == pick.best_locus[hits.asm]) & ~is_extra
-    coverages = np.clip(
-        pick.gene_cov_total[hits.asm, hits.gene] * 100.0, 0.0, 100.0
-    ).astype(np.float32)
 
     # --- spatial pieces.
     piece_of = Intervals(hits.t_start, hits.t_end, hits.strand).cluster_spatial(
@@ -327,7 +323,6 @@ def reconstruct_loci(db, hits: HitTable, pick: LocusPick, n_asm: int) -> Reconst
         is_expected=is_expected,
         is_extra=is_extra,
         is_inside=is_inside,
-        coverages=coverages,
         piece_asm=piece_asm,
         piece_ctg=piece_ctg,
         piece_lo=piece_lo,

@@ -143,3 +143,28 @@ def test_phenotypes_container():
     assert row.locus_masks.shape == (1, 1)
     with pytest.raises(IndexError):
         one[3]
+
+
+def test_genbank_wrapped_qualifier_with_slash_continuation():
+    """A wrapped quoted value whose continuation line begins with '/' must keep
+    accumulating — not truncate the value and fabricate a bogus qualifier."""
+    import io
+
+    from kaptive_tpu.db.genbank import iter_records
+
+    gbk = (
+        b"LOCUS       TESTREC                 12 bp    DNA     linear   BCT 01-JAN-2026\n"
+        b"FEATURES             Location/Qualifiers\n"
+        b"     source          1..12\n"
+        b'                     /note="a long note that wraps onto\n'
+        b'                     /another line starting with slash"\n'
+        b'                     /organism="Testus"\n'
+        b"ORIGIN\n"
+        b"        1 acgtacgtac gt\n"
+        b"//\n"
+    )
+    (rec,) = iter_records(io.BytesIO(gbk))
+    quals = {q.key: q.value for q in rec.features[0].qualifiers}
+    assert quals["note"] == "a long note that wraps onto /another line starting with slash"
+    assert quals["organism"] == "Testus"
+    assert len(rec.features[0].qualifiers) == 2
