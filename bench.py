@@ -218,7 +218,7 @@ def main() -> None:
           file=sys.stderr, flush=True)
 
     passes = []
-    n_passes = int(os.environ.get("KAPTIVE_TPU_BENCH_PASSES", "3"))
+    n_passes = int(os.environ.get("KAPTIVE_TPU_BENCH_PASSES", "5"))
     for p in range(n_passes):
         reset_phases()
         elapsed, correct = timed_pass()
