@@ -1,8 +1,10 @@
-r"""HTTP client for the Kaptive-Web API.
+r"""Client for the Kaptive-Web HTTP API.
 
-Capability parity with ``/root/reference/src/kaptive/client.py:27-183``:
-submit genome assemblies (multipart form), poll runs, download JSONL results;
-stdlib-urllib only, with gzip response handling and detailed error translation.
+Speaks the same wire protocol as the reference implementation
+(``/root/reference/src/kaptive/client.py:27-183``): authenticated genome
+submission via multipart upload, run polling, and gzip-compressed JSONL
+download — implemented here as a thin class over small functional transport
+helpers (stdlib urllib only).
 """
 
 from __future__ import annotations
@@ -10,97 +12,99 @@ from __future__ import annotations
 import gzip
 import json
 import mimetypes
-import os
-import uuid
+import secrets
+from pathlib import Path
 from typing import Any
-from urllib.error import HTTPError, URLError
+from urllib import error as _uerr
+from urllib import request as _ureq
 from urllib.parse import quote
-from urllib.request import Request, urlopen
 
 
 class KaptiveWebClientError(Exception):
-    r"""Raised for HTTP network errors or API protocol failures."""
+    r"""Network failure or API-level error reported by the Kaptive-Web service."""
+
+
+def _mime_of(path: str) -> str:
+    guessed, _ = mimetypes.guess_type(path)
+    return guessed or "application/octet-stream"
+
+
+def _multipart(paths: list[str]) -> tuple[bytes, str]:
+    r"""Frame files as one ``multipart/form-data`` payload under field ``files``."""
+    boundary = secrets.token_hex(16)
+    parts = []
+    for p in paths:
+        head = (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="files"; filename="{Path(p).name}"\r\n'
+            f"Content-Type: {_mime_of(p)}\r\n\r\n"
+        )
+        parts.append(head.encode() + Path(p).read_bytes() + b"\r\n")
+    parts.append(f"--{boundary}--\r\n".encode())
+    return b"".join(parts), f"multipart/form-data; boundary={boundary}"
+
+
+def _decode(response) -> Any:
+    r"""Read a urllib response: transparent gzip, JSON when declared, else bytes."""
+    raw = response.read()
+    meta = response.info()
+    if meta.get("Content-Encoding") == "gzip":
+        raw = gzip.decompress(raw)
+    return json.loads(raw) if meta.get_content_type() == "application/json" else raw
+
+
+def _http_detail(exc: _uerr.HTTPError) -> str:
+    r"""Pull the API's ``detail`` field out of an error body, if it has one."""
+    try:
+        return json.loads(exc.read()).get("detail", str(exc))
+    except Exception:
+        return str(exc)
 
 
 class KaptiveWebClient:
-    r"""Client for Kaptive-Web API endpoints (auth header, multipart upload, polling)."""
+    r"""Kaptive-Web API session: holds the key + root URL, issues typed calls."""
 
     def __init__(self, api_key: str, base_url: str = "http://127.0.0.1:8000") -> None:
+        root = base_url.rstrip("/")
+        self.base_url = root if root.endswith("/api") else f"{root}/api"
         self.api_key = api_key
-        self.base_url = base_url.rstrip("/")
-        if not self.base_url.endswith("/api"):
-            self.base_url += "/api"
 
-    def _request(
+    def _call(
         self,
+        method: str,
         endpoint: str,
-        method: str = "GET",
-        data: bytes | None = None,
-        headers: dict[str, str] | None = None,
+        payload: bytes | None = None,
+        content_type: str | None = None,
     ) -> Any:
-        url = f"{self.base_url}{endpoint}"
-        req_headers = {"X-API-Key": self.api_key, "Accept": "application/json"}
-        if headers:
-            req_headers.update(headers)
-        req = Request(url, data=data, method=method, headers=req_headers)
+        headers = {"X-API-Key": self.api_key, "Accept": "application/json"}
+        if content_type is not None:
+            headers["Content-Type"] = content_type
+        req = _ureq.Request(
+            self.base_url + endpoint, data=payload, method=method, headers=headers
+        )
         try:
-            with urlopen(req) as response:
-                body = response.read()
-                if response.info().get("Content-Encoding") == "gzip":
-                    body = gzip.decompress(body)
-                if response.info().get_content_type() == "application/json":
-                    return json.loads(body.decode("utf-8"))
-                return body
-        except HTTPError as e:
-            try:
-                err_data = json.loads(e.read().decode("utf-8"))
-                detail = err_data.get("detail", str(e))
-            except Exception:
-                detail = str(e)
-            raise KaptiveWebClientError(f"HTTP {e.code}: {detail}")
-        except URLError as e:
+            with _ureq.urlopen(req) as resp:
+                return _decode(resp)
+        except _uerr.HTTPError as exc:
+            raise KaptiveWebClientError(f"HTTP {exc.code}: {_http_detail(exc)}") from None
+        except _uerr.URLError as exc:
             raise KaptiveWebClientError(
                 f"Network error: Failed to connect to {self.base_url}. "
-                f"Ensure you have an active internet connection. ({e.reason})"
-            )
-
-    @staticmethod
-    def _build_multipart_form(files: list[str]) -> tuple[bytes, str]:
-        boundary = uuid.uuid4().hex
-        body = bytearray()
-        for file_path in files:
-            filename = os.path.basename(file_path)
-            mime_type, _ = mimetypes.guess_type(file_path)
-            if not mime_type:
-                mime_type = "application/octet-stream"
-            body.extend(f"--{boundary}\r\n".encode())
-            body.extend(
-                f'Content-Disposition: form-data; name="files"; filename="{filename}"\r\n'.encode()
-            )
-            body.extend(f"Content-Type: {mime_type}\r\n\r\n".encode())
-            with open(file_path, "rb") as f:
-                body.extend(f.read())
-            body.extend(b"\r\n")
-        body.extend(f"--{boundary}--\r\n".encode())
-        content_type = f"multipart/form-data; boundary={boundary}"
-        return bytes(body), content_type
+                f"Ensure you have an active internet connection. ({exc.reason})"
+            ) from None
 
     def submit_genomes(self, species: str, files: list[str]) -> str:
-        body, content_type = self._build_multipart_form(files)
-        endpoint = f"/serotype/{quote(species)}"
-        response = self._request(
-            endpoint, method="POST", data=body, headers={"Content-Type": content_type}
-        )
-        return response.get("run_id")
+        r"""Upload assemblies for serotyping; returns the server's run id."""
+        body, ctype = _multipart(files)
+        return self._call("POST", f"/serotype/{quote(species)}", body, ctype).get("run_id")
 
     def get_run(self, run_id: str) -> dict[str, Any]:
-        return self._request(f"/serotype/runs/{run_id}", method="GET")
+        r"""Poll status/results for a previously submitted run."""
+        return self._call("GET", f"/serotype/runs/{run_id}")
 
     def download_jsonl(self, genome_ids: list[str]) -> bytes:
-        data = json.dumps({"genome_ids": genome_ids}).encode("utf-8")
-        return self._request(
-            "/serotype/results/download/jsonl",
-            method="POST",
-            data=data,
-            headers={"Content-Type": "application/json"},
+        r"""Fetch the JSONL result payload for the given genome ids."""
+        ids = json.dumps({"genome_ids": genome_ids}).encode()
+        return self._call(
+            "POST", "/serotype/results/download/jsonl", ids, "application/json"
         )

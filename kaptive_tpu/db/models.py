@@ -1,17 +1,17 @@
 r"""Database metadata schema, phenotype rules, and vectorised phenotype masks.
 
 Capability parity with ``/root/reference/src/kaptive/db/models.py``:
-``DatabaseError`` (:27), ``DatabaseMetadata`` (:39-139 incl. ``parsed_version``
-:83-94 and ``from_dict`` :96-139), ``Phenotype`` (:142-166), ``Phenotypes``
-SoA (:169-307).
+``DatabaseError`` (:27), ``DatabaseMetadata`` (:39-139), ``Phenotype``
+(:142-166), ``Phenotypes`` SoA (:169-307).  The TOML field names and the mask
+semantics are fixed by the on-disk database format; the validation here is
+schema-table driven rather than hand-unrolled.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+import re
 from dataclasses import dataclass
-from re import compile as re_compile
-from typing import Any, Self
+from typing import Any
 
 import numpy as np
 import numpy.typing as npt
@@ -23,65 +23,87 @@ class DatabaseError(Exception):
     r"""Raised for database loading, metadata validation, or format errors."""
 
 
+def _as_is(value: Any) -> Any:
+    return value
+
+
+# TOML schema: required keys with their coercions, then keys that fall back to
+# a legacy alias and default to ``{}`` (format contract, ref db/models.py:96-139).
+_REQUIRED: tuple[tuple[str, Any], ...] = (
+    ("name", _as_is),
+    ("keyword", _as_is),
+    ("genbank", _as_is),
+    ("organism", _as_is),
+    ("taxon", int),
+    ("antigen", _as_is),
+    ("pathway", _as_is),
+    ("version", _as_is),
+    ("id_threshold", float),
+    ("doi", _as_is),
+    ("owner", _as_is),
+    ("repo", _as_is),
+    ("branch", _as_is),
+    ("contact", _as_is),
+)
+_ALIASED: tuple[tuple[str, str], ...] = (
+    ("phenotype_logic", "logic"),
+    ("antigenic_units", "units"),
+)
+
+
 @dataclass(frozen=True, slots=True)
 class DatabaseMetadata:
-    r"""Validated TOML metadata schema for a reference database."""
+    r"""Validated TOML metadata for a reference database (identity, organism,
+    repo provenance, and the phenotype/antigenic rule tables)."""
 
-    name: str
+    # database identity
     keyword: str
+    name: str
+    version: str
     genbank: str
-    organism: str
+    # organism / antigen biology
     taxon: int
+    organism: str
     antigen: str
     pathway: str
-    version: str
     id_threshold: float
-    doi: list[str]
-    owner: str
+    # provenance (GitHub-hosted decentralised DBs)
     repo: str
+    owner: str
     branch: str
     contact: dict
-    phenotype_logic: dict
+    doi: list[str]
+    # rule tables
     antigenic_units: dict
+    phenotype_logic: dict
 
     @property
     def parsed_version(self) -> tuple[int, ...]:
-        pat = re_compile(r"\d+")
-        return tuple(int(x) for x in pat.findall(str(self.version)))
+        r"""Numeric components of ``version`` for semver-style comparison."""
+        return tuple(int(tok) for tok in re.findall(r"\d+", str(self.version)))
 
     @classmethod
     def from_dict(cls, data: dict) -> DatabaseMetadata:
         if not isinstance(data, dict):
             raise DatabaseError("Metadata must be a dictionary.")
+        fields: dict[str, Any] = {}
         try:
-            meta = cls(
-                name=data["name"],
-                keyword=data["keyword"],
-                genbank=data["genbank"],
-                organism=data["organism"],
-                taxon=int(data["taxon"]),
-                antigen=data["antigen"],
-                pathway=data["pathway"],
-                version=data["version"],
-                id_threshold=float(data["id_threshold"]),
-                doi=data["doi"],
-                owner=data["owner"],
-                repo=data["repo"],
-                branch=data["branch"],
-                contact=data["contact"],
-                phenotype_logic=data.get("phenotype_logic", data.get("logic", {})),
-                antigenic_units=data.get("antigenic_units", data.get("units", {})),
-            )
-        except KeyError as e:
-            raise DatabaseError(f"Metadata is missing required field: {e.args[0]!r}")
-        except ValueError as e:
-            raise DatabaseError(f"Metadata has an invalid value type: {e}")
-        return meta
+            for key, coerce in _REQUIRED:
+                fields[key] = coerce(data[key])
+        except KeyError as exc:
+            raise DatabaseError(f"Metadata is missing required field: {exc.args[0]!r}")
+        except (TypeError, ValueError) as exc:
+            raise DatabaseError(f"Metadata has an invalid value type: {exc}")
+        for key, legacy in _ALIASED:
+            fields[key] = data.get(key, data.get(legacy, {}))
+        return cls(**fields)
 
 
 @dataclass(slots=True, frozen=True)
 class Phenotype:
-    r"""One phenotype rule: required loci / extra genes / inactive genes -> serotype id."""
+    r"""One phenotype rule: loci it applies to, genes that must be present
+    (``extra_genes``) or intact (``inactive_genes``), resolution priority, and
+    whether the id is appended as a suffix rather than replacing the call."""
 
     id: str
     loci: set[str]
@@ -91,13 +113,19 @@ class Phenotype:
     as_suffix: bool = False
 
 
+def _mask2d(rows: Any, dtype: Any) -> npt.NDArray[Any]:
+    arr = np.array(rows, dtype=dtype)
+    return arr if arr.ndim == 2 else arr.reshape(len(arr), -1)
+
+
 @dataclass(frozen=True, slots=True)
 class Phenotypes(SoAContainer):
     r"""SoA batch of phenotype rules for vectorised evaluation.
 
-    Batch protocol derived by :class:`~kaptive_tpu.core.collections.SoAContainer`
-    (mask matrices index along their rule axis); ``empty`` is overridden to
-    keep the 2-D mask shape.
+    Rows are rules; mask matrices span (rules x loci) and (rules x gene
+    clusters) so a whole batch of assemblies evaluates with one einsum.
+    Batch protocol derived by :class:`~kaptive_tpu.core.collections.SoAContainer`;
+    ``empty``/``from_dict`` are overridden to keep the 2-D mask shapes.
     """
 
     ids: npt.NDArray[np.bytes_] = soa("S32", kind="bytes")
@@ -110,11 +138,12 @@ class Phenotypes(SoAContainer):
 
     @classmethod
     def empty(cls) -> Phenotypes:
+        zero = np.empty((0, 0), dtype=np.int8)
         return cls(
             ids=np.empty(0, dtype="S32"),
-            locus_masks=np.empty((0, 0), dtype=bool),
-            extra_masks=np.empty((0, 0), dtype=np.int8),
-            inactive_masks=np.empty((0, 0), dtype=np.int8),
+            locus_masks=zero.astype(bool),
+            extra_masks=zero,
+            inactive_masks=zero,
             extra_counts=np.empty(0, dtype=np.int8),
             priorities=np.empty(0, dtype=np.int8),
             as_suffix=np.empty(0, dtype=bool),
@@ -122,16 +151,16 @@ class Phenotypes(SoAContainer):
 
     @classmethod
     def from_dict(cls, data: dict) -> Phenotypes:
-        extra_masks = np.array(data["extra_masks"], dtype=np.int8)
+        extra = _mask2d(data["extra_masks"], np.int8)
+        counts = data.get("extra_counts")
+        if counts is None:
+            counts = extra.sum(axis=1) if extra.size else np.empty(0)
         return cls(
             ids=as_bytes_array(data["ids"]),
-            locus_masks=np.array(data["locus_masks"], dtype=bool),
-            extra_masks=extra_masks,
-            inactive_masks=np.array(data["inactive_masks"], dtype=np.int8),
-            extra_counts=np.array(
-                data.get("extra_counts", extra_masks.sum(axis=1) if extra_masks.size else []),
-                dtype=np.int8,
-            ),
+            locus_masks=_mask2d(data["locus_masks"], bool),
+            extra_masks=extra,
+            inactive_masks=_mask2d(data["inactive_masks"], np.int8),
+            extra_counts=np.array(counts, dtype=np.int8),
             priorities=np.array(data["priorities"], dtype=np.int8),
             as_suffix=np.array(data["as_suffix"], dtype=bool),
         )
