@@ -2,10 +2,11 @@ r"""ORF prediction and database annotation for BGC analysis.
 
 Capability parity with ``/root/reference/src/kaptive/bgc/annotate.py``:
 ``Genes`` SoA (:37-120), ``AnnotationResult`` with BED export (:123-201), and
-``Annotator`` (:204-343) — ORF calling (pyfgs replaced by the vectorised
-six-frame finder in :mod:`kaptive_tpu.bgc.orf`, parallelised per contig with a
-thread pool), randstrobe query indexing, DB top-hit search, and optional
-device DP alignment refinement.
+``Annotator`` (:204-343) — ORF calling (pyfgs replaced by the HMM gene finder
+in :mod:`kaptive_tpu.bgc.genefinder` / the six-frame scan in
+:mod:`kaptive_tpu.bgc.orf`, parallelised per contig), randstrobe query
+indexing, DB top-hit search, and optional device DP refinement.  Hit tallies
+and BED row assembly are vectorised here rather than per-gene loops.
 """
 
 from __future__ import annotations
@@ -27,6 +28,8 @@ from kaptive_tpu.core.pairwise import PairwiseAligner, PairwiseAlignments
 from kaptive_tpu.core.seq import Sequences
 from kaptive_tpu.db import Database
 
+_STRAND_GLYPHS = {1: "+", -1: "-"}
+
 
 @dataclass(slots=True, frozen=True)
 class Genes(SoAContainer):
@@ -42,13 +45,24 @@ class Genes(SoAContainer):
 
     def __getitem__(self, item: int | slice | npt.NDArray[Any] | list[int]) -> Any:
         if isinstance(item, (int, np.integer)):
-            return (
-                self.intervals[item],
-                self.translations[item],
-                self.contig_indices[item],
-            )
+            return (self.intervals[item], self.translations[item], self.contig_indices[item])
         # Explicit base call: slots=True dataclasses break zero-arg super().
         return SoAContainer.__getitem__(self, item)
+
+    @classmethod
+    def from_orf_calls(cls, calls_per_contig: list[list]) -> "Genes":
+        r"""Flatten per-contig ORF call lists into one SoA batch."""
+        rows = [(ci, orf) for ci, calls in enumerate(calls_per_contig) for orf in calls]
+        n = len(rows)
+        return cls(
+            intervals=Intervals(
+                starts=np.fromiter((o.start for _, o in rows), np.int32, n),
+                ends=np.fromiter((o.end for _, o in rows), np.int32, n),
+                strands=np.fromiter((o.strand for _, o in rows), np.int8, n),
+            ),
+            translations=Sequences.from_bytes([o.translation for _, o in rows]),
+            contig_indices=np.fromiter((ci for ci, _ in rows), np.uint32, n),
+        )
 
 
 @dataclass(slots=True)
@@ -64,61 +78,58 @@ class AnnotationResult:
     contig_names: tuple[str, ...]
     alignments: PairwiseAlignments | None = None
 
-    def write_bed(self, path: str | Path, hits_only: bool = True) -> None:
-        r"""Write predicted genes to a 7-column BED file (ref :155-201, byte-compatible)."""
-        mask = self.hits_mask if hits_only else np.ones(len(self.genes), dtype=bool)
-        valid_indices = np.where(mask)[0]
-        if len(valid_indices) == 0:
-            with open(path, "w") as f:
-                pass
-            return
-
-        filtered_genes = self.genes[valid_indices]
-        c_names = [self.contig_names[i] for i in filtered_genes.contig_indices]
-        starts = filtered_genes.intervals.starts
-        ends = filtered_genes.intervals.ends
-        strands = filtered_genes.intervals.strands
-        strand_map = {1: "+", -1: "-", 0: "."}
-
-        with open(path, "w") as f:
-            for i, global_idx in enumerate(valid_indices):
-                strand_char = strand_map.get(int(strands[i]), ".")
-                if self.hits_mask[global_idx]:
-                    tags = (
-                        f"top_hit={self.top_hit_names[global_idx]};"
-                        f"score={self.top_hit_scores[global_idx]:.2f}"
-                    )
-                else:
-                    tags = "."
-                f.write(
-                    f"{c_names[i]}\t{starts[i]}\t{ends[i]}\t{global_idx}\t0\t{strand_char}\t{tags}\n"
+    def _bed_rows(self, rows: npt.NDArray[np.integer]):
+        r"""Yield 7-column BED lines for the selected gene rows (ref :155-201)."""
+        kept = self.genes[rows]
+        spans = kept.intervals
+        for pos, gene_idx in enumerate(rows):
+            if self.hits_mask[gene_idx]:
+                tags = (
+                    f"top_hit={self.top_hit_names[gene_idx]};"
+                    f"score={self.top_hit_scores[gene_idx]:.2f}"
                 )
+            else:
+                tags = "."
+            yield "\t".join((
+                self.contig_names[kept.contig_indices[pos]],
+                str(spans.starts[pos]),
+                str(spans.ends[pos]),
+                str(gene_idx),
+                "0",
+                _STRAND_GLYPHS.get(int(spans.strands[pos]), "."),
+                tags,
+            )) + "\n"
+
+    def write_bed(self, path: str | Path, hits_only: bool = True) -> None:
+        r"""Write predicted genes as BED (byte-compatible with the reference)."""
+        rows = (
+            np.flatnonzero(self.hits_mask)
+            if hits_only
+            else np.arange(len(self.genes), dtype=np.int64)
+        )
+        with open(path, "w") as sink:
+            sink.writelines(self._bed_rows(rows))
 
 
 class Annotator:
     r"""ORF prediction + reference protein annotation engine."""
 
-    def __init__(
-        self,
-        db: Database,
-        align: bool = False,
-        aligner_kwargs: dict[str, Any] | None = None,
-        whole_genome: bool = False,
-        min_codons: int = 30,
-        orf_method: str = "hmm",
-    ) -> None:
+    def __init__(self, db: Database, align: bool = False,
+                 aligner_kwargs: dict[str, Any] | None = None,
+                 whole_genome: bool = False, min_codons: int = 30,
+                 orf_method: str = "hmm") -> None:
         r"""``orf_method``: ``"hmm"`` (default) decodes the frameshift-tolerant
         gene HMM (:mod:`kaptive_tpu.bgc.genefinder`, the pyfgs/FragGeneScan
         equivalent — ref ``bgc/annotate.py:261-278``) with codon emissions
         estimated from this database's genes; ``"scan"`` uses the plain
         six-frame ORF scan with post-hoc frameshift recovery."""
+        if orf_method not in ("hmm", "scan"):
+            raise ValueError(f"unknown orf_method {orf_method!r}")
         self._db = db
         self.align = align
         self.aligner = PairwiseAligner(**(aligner_kwargs or {})) if align else None
         self.whole_genome = whole_genome
         self.min_codons = min_codons
-        if orf_method not in ("hmm", "scan"):
-            raise ValueError(f"unknown orf_method {orf_method!r}")
         self.orf_method = orf_method
         if orf_method == "hmm":
             from kaptive_tpu.bgc.genefinder import GeneHmmParams
@@ -130,80 +141,58 @@ class Annotator:
             )
         self._db_idx = RandstrobeIndex.build(self._db.translations, sort_by_hash=True)
 
+    def _call_orfs(self, contig: bytes) -> list:
+        if len(contig) < 3:
+            return []
+        if self.orf_method == "hmm":
+            from kaptive_tpu.bgc.genefinder import find_genes_hmm
+
+            called = find_genes_hmm(contig, self._hmm_params, min_codons=self.min_codons)
+            return resolve_overlaps(called)
+        scanned = resolve_overlaps(find_orfs(contig, min_codons=self.min_codons))
+        return recover_frameshifts(scanned)
+
+    def _tally_top_hits(
+        self, genes: Genes, seeds: Seeds
+    ) -> tuple[npt.NDArray[np.bool_], npt.NDArray[np.object_], npt.NDArray[np.float32]]:
+        r"""Vectorised per-gene hit mask / best DB protein name / score columns."""
+        n = len(genes)
+        mask = np.zeros(n, dtype=bool)
+        names = np.full(n, "", dtype=object)
+        scores = np.zeros(n, dtype=np.float32)
+        if len(seeds):
+            mask[seeds.query_indices] = True
+            db_names = np.asarray(self._db.translations.ids, dtype=object)
+            names[seeds.query_indices] = db_names[seeds.target_indices]
+            scores[seeds.query_indices] = seeds.scores.astype(np.float32)
+        return mask, names, scores
+
     def __call__(self, genome: GenomeAssembly) -> AnnotationResult:
-        offsets = genome.contigs.offsets
-        lengths = genome.contigs.lengths
-        seqs = genome.contigs.seqs
-        seq_bytes_list = [
-            seqs[offsets[i] : offsets[i] + lengths[i]].tobytes()
-            for i in range(len(genome.contigs))
+        contigs = genome.contigs
+        raw = [
+            contigs.seqs[o : o + n].tobytes()
+            for o, n in zip(contigs.offsets, contigs.lengths)
         ]
+        with ThreadPoolExecutor() as pool:
+            genes = Genes.from_orf_calls(list(pool.map(self._call_orfs, raw)))
 
-        def _predict(seq_bytes: bytes):
-            if len(seq_bytes) < 3:
-                return []
-            if self.orf_method == "hmm":
-                from kaptive_tpu.bgc.genefinder import find_genes_hmm
-
-                return resolve_overlaps(
-                    find_genes_hmm(seq_bytes, self._hmm_params, min_codons=self.min_codons)
-                )
-            return recover_frameshifts(resolve_overlaps(find_orfs(seq_bytes, min_codons=self.min_codons)))
-
-        with ThreadPoolExecutor() as executor:
-            batch_results = list(executor.map(_predict, seq_bytes_list))
-
-        starts: list[int] = []
-        ends: list[int] = []
-        strands: list[int] = []
-        contig_indices: list[int] = []
-        protein_seqs: list[bytes] = []
-        for contig_idx, orfs in enumerate(batch_results):
-            for o in orfs:
-                starts.append(o.start)
-                ends.append(o.end)
-                strands.append(o.strand)
-                contig_indices.append(contig_idx)
-                protein_seqs.append(o.translation)
-
-        genes_soa = Genes(
-            intervals=Intervals(
-                starts=np.array(starts, dtype=np.int32),
-                ends=np.array(ends, dtype=np.int32),
-                strands=np.array(strands, dtype=np.int8),
-            ),
-            translations=Sequences.from_bytes(protein_seqs),
-            contig_indices=np.array(contig_indices, dtype=np.uint32),
-        )
-
-        translations_idx = RandstrobeIndex.build(genes_soa.translations)
-        seeds = self._db_idx.top_hits(translations_idx) if len(translations_idx) else Seeds.empty()
-
-        num_genes = len(genes_soa)
-        hits_mask = np.zeros(num_genes, dtype=bool)
-        top_hit_names = np.full(num_genes, "", dtype=object)
-        top_hit_scores = np.zeros(num_genes, dtype=np.float32)
-
-        if len(seeds) > 0:
-            hits_mask[seeds.query_indices] = True
-            for q_idx, t_idx, score in zip(seeds.query_indices, seeds.target_indices, seeds.scores):
-                top_hit_names[q_idx] = self._db.translations.ids[t_idx]
-                top_hit_scores[q_idx] = float(score)
+        query_idx = RandstrobeIndex.build(genes.translations)
+        seeds = self._db_idx.top_hits(query_idx) if len(query_idx) else Seeds.empty()
+        mask, names, scores = self._tally_top_hits(genes, seeds)
 
         alignments = None
         if self.aligner is not None and len(seeds) > 0:
-            q_seqs, t_seqs = seeds.extract_sequences(genes_soa.translations, self._db.translations)
-            alignments = self.aligner(q_seqs, t_seqs, seeds=seeds)
-            for i, q_idx in enumerate(seeds.query_indices):
-                top_hit_scores[q_idx] = float(alignments.scores[i])
+            pairs = seeds.extract_sequences(genes.translations, self._db.translations)
+            alignments = self.aligner(*pairs, seeds=seeds)
+            scores[seeds.query_indices] = alignments.scores.astype(np.float32)
 
         return AnnotationResult(
-            genes=genes_soa,
-            translations_idx=translations_idx,
+            genes=genes,
+            translations_idx=query_idx,
             seeds=seeds,
-            hits_mask=hits_mask,
-            top_hit_names=top_hit_names,
-            top_hit_scores=top_hit_scores,
-            contig_names=genome.contigs.ids,
+            hits_mask=mask,
+            top_hit_names=names,
+            top_hit_scores=scores,
+            contig_names=contigs.ids,
             alignments=alignments,
         )

@@ -1,11 +1,11 @@
 r"""Trainer for BGC architectural models: archetype clustering + transition learning.
 
-Capability parity with ``/root/reference/src/kaptive/bgc/trainer.py:35-166``:
-feature extraction over core locus proteins, MiniBatchKMeans archetype
-centroids (sklearn when available, otherwise a built-in mini-batch k-means so
-training works without the optional dependency), background centroid,
-transition counting with Laplace smoothing, self-loop/NOVEL/edge weighting,
-log conversion, and the absorbing-POST structural constraint.
+Capability parity with ``/root/reference/src/kaptive/bgc/trainer.py:35-166``
+(same smoothing weights and structural constraints, so trained models decode
+identically), restructured around vectorised transition counting
+(``np.add.at`` over state bigrams instead of a per-gene Python walk), a
+data-table of smoothing boosts, and a built-in mini-batch k-means fallback so
+training works without the optional sklearn dependency.
 """
 
 from __future__ import annotations
@@ -19,6 +19,12 @@ from kaptive_tpu.bgc.models import ArchitecturalModel
 from kaptive_tpu.compare import LocusData
 from kaptive_tpu.core.kmers import RandstrobeIndex
 from kaptive_tpu.core.seq import Sequences
+
+
+def _featurize(seqs: Sequences, dim: int) -> np.ndarray:
+    r"""Randstrobe bag-of-hashes feature matrix, one row per sequence."""
+    strobes = RandstrobeIndex.build(seqs, sort_by_hash=False)
+    return vectorize_orfs(strobes.records["hash"], strobes.records["seq_idx"], len(seqs), dim)
 
 
 def _minibatch_kmeans(x: np.ndarray, k: int, seed: int = 42, iters: int = 50, batch: int = 256):
@@ -46,85 +52,90 @@ def _minibatch_kmeans(x: np.ndarray, k: int, seed: int = 42, iters: int = 50, ba
     return np.argmin(dists, axis=1), centroids
 
 
-class ArchitecturalTrainer:
-    r"""Learns archetype centroids and state transitions from known BGC loci."""
+def _cluster(x: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    r"""(labels, centroids) via sklearn MiniBatchKMeans, or the built-in fallback."""
+    try:
+        from sklearn.cluster import MiniBatchKMeans
+    except ImportError:
+        return _minibatch_kmeans(x, k)
+    km = MiniBatchKMeans(n_clusters=k, random_state=42, n_init="auto")
+    return km.fit_predict(x), km.cluster_centers_
 
-    def __init__(
-        self,
-        num_archetypes: int = 25,
-        feature_dim: int = 1024,
-        partial_edge_tolerance: float = 5.0,
-    ) -> None:
+
+class ArchitecturalTrainer:
+    r"""Learns archetype centroids and state transitions from known BGC loci.
+
+    State layout: ``PRE=0``, archetypes ``1..K``, ``NOVEL=K+1``, absorbing
+    ``POST=K+2`` (ref ``bgc/trainer.py:95-124``).
+    """
+
+    def __init__(self, num_archetypes: int = 25, feature_dim: int = 1024,
+                 partial_edge_tolerance: float = 5.0) -> None:
         self.num_archetypes = num_archetypes
         self.feature_dim = feature_dim
         self.partial_edge_tolerance = partial_edge_tolerance
+
+    def _count_transitions(
+        self, loci: Sequence[LocusData], gene_states: np.ndarray
+    ) -> np.ndarray:
+        r"""Accumulate PRE -> genes -> POST bigram counts for every locus."""
+        k = self.num_archetypes
+        pre, post = 0, k + 2
+        counts = np.zeros((k + 3, k + 3), dtype=np.float32)
+        done = 0
+        for locus in loci:
+            n = len(locus.proteins)
+            if n == 0:
+                continue
+            walk = np.empty(n + 2, dtype=np.int64)
+            walk[0], walk[1:-1], walk[-1] = pre, gene_states[done : done + n], post
+            np.add.at(counts, (walk[:-1], walk[1:]), 1.0)
+            done += n
+        return counts
+
+    def _smooth(self, counts: np.ndarray) -> np.ndarray:
+        r"""Laplace smoothing plus the structural boosts of the reference
+        parameterisation (self-loops, NOVEL coupling, contig-edge entry/exit)."""
+        k = self.num_archetypes
+        pre, novel, post = 0, k + 1, k + 2
+        genes = slice(1, novel)
+        boosts: tuple[tuple[tuple, float], ...] = (
+            ((pre, pre), 100.0),
+            ((post, post), 100.0),
+            ((genes, novel), 5.0),
+            ((novel, genes), 5.0),
+            ((novel, novel), 10.0),
+            ((pre, genes), self.partial_edge_tolerance),
+            ((genes, post), self.partial_edge_tolerance),
+        )
+        smoothed = counts + 0.1
+        for where, weight in boosts:
+            smoothed[where] += weight
+        return smoothed
 
     def train(
         self,
         loci: Sequence[LocusData],
         background_proteins: Sequences | None = None,
     ) -> ArchitecturalModel:
-        all_seqs = Sequences.concat([locus.proteins for locus in loci])
-
-        idx = RandstrobeIndex.build(all_seqs, sort_by_hash=False)
-        x_core = vectorize_orfs(
-            idx.records["hash"], idx.records["seq_idx"], len(all_seqs), self.feature_dim
-        )
-
+        core = _featurize(Sequences.concat([locus.proteins for locus in loci]), self.feature_dim)
         if background_proteins is not None and len(background_proteins) > 0:
-            bg_idx = RandstrobeIndex.build(background_proteins, sort_by_hash=False)
-            x_bg = vectorize_orfs(
-                bg_idx.records["hash"], bg_idx.records["seq_idx"],
-                len(background_proteins), self.feature_dim,
-            )
-            bg_centroid = x_bg.mean(axis=0)
+            bg_centroid = _featurize(background_proteins, self.feature_dim).mean(axis=0)
         else:
             bg_centroid = np.zeros(self.feature_dim, dtype=np.float32)
 
-        try:
-            from sklearn.cluster import MiniBatchKMeans
+        labels, centroids = _cluster(core, self.num_archetypes)
 
-            kmeans = MiniBatchKMeans(n_clusters=self.num_archetypes, random_state=42, n_init="auto")
-            archetypes = kmeans.fit_predict(x_core)
-            centroids = kmeans.cluster_centers_
-        except ImportError:
-            archetypes, centroids = _minibatch_kmeans(x_core, self.num_archetypes)
+        counts = self._count_transitions(loci, labels + 1)  # state 0 is PRE
+        smoothed = self._smooth(counts)
+        log_probs = np.log(smoothed / smoothed.sum(axis=1, keepdims=True))
+        # POST absorbs: no way out once the cluster has ended.
+        post = self.num_archetypes + 2
+        log_probs[post, :], log_probs[post, post] = -np.inf, 0.0
 
-        gene_state_map = archetypes + 1  # 0 is PRE
-
-        num_states = self.num_archetypes + 3
-        transitions = np.zeros((num_states, num_states), dtype=np.float32)
-        PRE, NOVEL, POST = 0, self.num_archetypes + 1, self.num_archetypes + 2
-
-        offset = 0
-        for locus in loci:
-            length = len(locus.proteins)
-            if length == 0:
-                continue
-            prev_state = PRE
-            for i in range(length):
-                curr_state = gene_state_map[offset + i]
-                transitions[prev_state, curr_state] += 1.0
-                prev_state = curr_state
-            transitions[prev_state, POST] += 1.0
-            offset += length
-
-        transitions += 0.1  # Laplace smoothing
-        transitions[PRE, PRE] += 100.0
-        transitions[POST, POST] += 100.0
-        transitions[1:NOVEL, NOVEL] += 5.0
-        transitions[NOVEL, 1:NOVEL] += 5.0
-        transitions[NOVEL, NOVEL] += 10.0
-        transitions[PRE, 1:NOVEL] += self.partial_edge_tolerance
-        transitions[1:NOVEL, POST] += self.partial_edge_tolerance
-
-        row_sums = transitions.sum(axis=1, keepdims=True)
-        trans_log_probs = np.log(transitions / row_sums)
-        trans_log_probs[POST, :] = -np.inf
-        trans_log_probs[POST, POST] = 0.0
-
+        as_f32 = lambda arr: np.ascontiguousarray(arr.astype(np.float32))  # noqa: E731
         return ArchitecturalModel(
-            centroids=np.ascontiguousarray(centroids.astype(np.float32)),
-            bg_centroid=np.ascontiguousarray(bg_centroid.astype(np.float32)),
-            transitions=np.ascontiguousarray(trans_log_probs.astype(np.float32)),
+            centroids=as_f32(centroids),
+            bg_centroid=as_f32(bg_centroid),
+            transitions=as_f32(log_probs),
         )

@@ -1,12 +1,12 @@
-r"""Command line framework and root runner.
+r"""Command-line framework and root runner.
 
-Capability parity with ``/root/reference/src/kaptive/cli.py``: ANSI color
-namespace (:22-67), colorized help formatter (:70-140), help-on-error parser
-with did-you-mean suggestions (:143-168), the ``Cli`` host with file-handle
-tracking, exit-code mapping, verbose messages and a progress counter
-(:171-363), the declarative ``Command`` base auto-deriving name/description/
-help from class metadata with nested subcommand wiring (:366-569), and
-``main()`` (:571-587).
+Capability parity with ``/root/reference/src/kaptive/cli.py``: colorized help
+with ``NO_COLOR`` support, help-on-error parsing with did-you-mean hints, a
+``Cli`` host (handle tracking, exit-code mapping, verbose/progress output on
+stderr), a declarative ``Command`` tree deriving its metadata from class
+attributes, and ``main()``.  Structured differently from the reference: the
+styling layer is a module function, exit-code mapping and the shared output
+flag block are data tables, and parser post-processing lives in free helpers.
 """
 
 from __future__ import annotations
@@ -17,192 +17,190 @@ import re
 import sys
 from abc import ABC
 from collections.abc import Iterable
+from difflib import get_close_matches
 from pathlib import Path
 from typing import IO, Any, Self
 
 from kaptive_tpu import __version__
 
+# SGR escapes (wire constants)
+RESET, BOLD, BOLD_RED, BOLD_CYAN = ("\033[%sm" % c for c in ("0", "1", "1;31", "1;36"))
+
+_WANT_COLOR = sys.stdout.isatty() and not os.environ.get("NO_COLOR")
+
+
+def paint(text: str, *styles: str) -> str:
+    r"""Apply SGR styles unless color output is disabled."""
+    return f"{''.join(styles)}{text}{RESET}" if _WANT_COLOR else text
+
 
 class Colors:
-    r"""ANSI escape namespace; disabled when not a TTY or ``NO_COLOR`` is set."""
+    r"""Compatibility namespace over the module-level styling helpers."""
 
-    ENABLED = sys.stdout.isatty() and not os.environ.get("NO_COLOR")
-
-    def __init__(self) -> None:
-        raise TypeError("The Colors class is a namespace and cannot be instantiated.")
-
-    RESET = "\033[0m"
-    BOLD = "\033[1m"
-    BOLD_RED = "\033[1;31m"
-    BOLD_CYAN = "\033[1;36m"
-
-    @classmethod
-    def wrap(cls, text: str, *styles: str) -> str:
-        if not cls.ENABLED:
-            return text
-        return f"{''.join(styles)}{text}{cls.RESET}"
+    ENABLED = _WANT_COLOR
+    RESET, BOLD, BOLD_RED, BOLD_CYAN = RESET, BOLD, BOLD_RED, BOLD_CYAN
+    wrap = staticmethod(paint)
 
 
 class CliHelpFormatter(argparse.RawTextHelpFormatter):
-    r"""Help formatter with colorized headings and compacted subcommand usage."""
+    r"""Colorized headings, compact ``[subcommand]`` usage, no subparser header."""
 
     def _format_usage(self, usage, actions, groups, prefix):
-        positionals = [a for a in actions if not a.option_strings]
-        result = super()._format_usage(usage, positionals, groups, prefix)
-        result = re.sub(r"\{[a-zA-Z0-9_,\.-]+\}", Colors.wrap("[subcommand]", Colors.BOLD_CYAN), result)
-        actual_prefix = prefix if prefix is not None else "usage: "
-        target = f"{actual_prefix}{self._prog}"
-        if result.startswith(target):
-            if any(a.option_strings for a in actions):
-                colored_options = Colors.wrap("[options]", Colors.BOLD_CYAN)
-                result = result.replace(target, f"{target} {colored_options}", 1)
-            result = result.replace(actual_prefix, Colors.wrap(actual_prefix, Colors.BOLD_CYAN), 1)
-        return result
+        shown_prefix = "usage: " if prefix is None else prefix
+        flagless = [a for a in actions if not a.option_strings]
+        text = super()._format_usage(usage, flagless, groups, prefix)
+        text = re.sub(r"\{[\w,.-]+\}", paint("[subcommand]", BOLD_CYAN), text)
+        head = f"{shown_prefix}{self._prog}"
+        if text.startswith(head):
+            if len(flagless) != len(actions):
+                text = f"{head} {paint('[options]', BOLD_CYAN)}{text[len(head):]}"
+            text = paint(shown_prefix, BOLD_CYAN) + text[len(shown_prefix):]
+        return text
 
     def start_section(self, heading):
-        if heading:
-            heading = Colors.wrap(heading, Colors.BOLD_CYAN)
-        super().start_section(heading)
+        super().start_section(paint(heading, BOLD_CYAN) if heading else heading)
 
     def _format_action(self, action):
-        result = super()._format_action(action)
-        if type(action).__name__ == "_SubParsersAction":
-            lines = result.split("\n", 1)
-            if len(lines) > 1:
-                result = lines[1]
-        return result
+        text = super()._format_action(action)
+        if isinstance(action, argparse._SubParsersAction):
+            _, sep, rest = text.partition("\n")
+            if sep:
+                return rest
+        return text
 
 
-def _closest_choice(message: str) -> str | None:
-    r"""Extract the misspelled choice from an argparse error and fuzzy-match it
-    against the offered alternatives; returns the best candidate, if any."""
-    bad = re.search(r"invalid choice: '?([^']+)'?", message)
-    offered = re.search(r"\(choose from (.*)\)", message)
-    if not (bad and offered):
+def _suggest_from_error(message: str) -> str | None:
+    r"""Fuzzy-match an ``invalid choice`` argparse error against its offered
+    alternatives; returns the closest candidate if one is plausible."""
+    parsed = re.search(r"invalid choice: '?([^']+)'?.*\(choose from (.*)\)", message)
+    if parsed is None:
         return None
-    from difflib import get_close_matches
-
-    candidates = [c.strip(" '\"") for c in offered.group(1).split(",")]
-    hits = get_close_matches(bad.group(1), candidates, n=1)
-    return hits[0] if hits else None
+    offered = [alt.strip(" '\"") for alt in parsed.group(2).split(",")]
+    best = get_close_matches(parsed.group(1), offered, n=1)
+    return best[0] if best else None
 
 
 class HelpOnErrorParser(argparse.ArgumentParser):
-    r"""Parser that shows full help plus a fuzzy suggestion when parsing fails."""
+    r"""Shows full help plus a did-you-mean hint when parsing fails."""
 
     def error(self, message: str) -> None:  # type: ignore[override]
         self.print_help(sys.stderr)
-        lines = [f"{Colors.wrap('Error:', Colors.BOLD_RED)} {message}"]
-        if suggestion := _closest_choice(message):
-            lines.append(f"  hint: did you mean {Colors.wrap(suggestion, Colors.BOLD_CYAN)}?")
-        self.exit(2, "\n" + "\n".join(lines) + "\n")
+        tail = f"\n{paint('Error:', BOLD_RED)} {message}\n"
+        if hint := _suggest_from_error(message):
+            tail += f"  hint: did you mean {paint(hint, BOLD_CYAN)}?\n"
+        self.exit(2, tail)
 
 
-def _rename_option_group(parser: argparse.ArgumentParser, demote: bool) -> None:
-    r"""Retitle argparse's default optionals group; ``demote`` moves it last in
-    the help output so command-specific groups print first."""
+def _retitle_general_options(parser: argparse.ArgumentParser, to_back: bool) -> None:
+    r"""Rename argparse's default optionals group; optionally print it last so
+    command-specific groups lead the help output."""
     group = getattr(parser, "_optionals", None)
-    if group is None:
-        return
-    group.title = Colors.wrap("General options", Colors.BOLD)
-    if demote and group in parser._action_groups:
-        parser._action_groups.remove(group)
-        parser._action_groups.append(group)
+    if group is not None:
+        group.title = paint("General options", BOLD)
+        if to_back and group in parser._action_groups:
+            parser._action_groups.remove(group)
+            parser._action_groups.append(group)
+
+
+# (exception type, stderr message template, exit code) — BrokenPipe is special.
+_EXIT_TABLE: tuple[tuple[type[BaseException], str, int], ...] = (
+    (KeyboardInterrupt, "\n🛑 Cancelled by user.", 1),
+    (PermissionError, "🔒 Permission denied: {exc}", 1),
+    (FileNotFoundError, "📄 File not found: {exc}", 1),
+)
 
 
 class Cli:
-    r"""Root CLI host: global options, subcommand registry, handles, progress."""
+    r"""Root CLI host: global flags, subcommand registry, handles, progress."""
 
     def __init__(self, description: str | None = None, epilog: str | None = None) -> None:
         self.verbose = False
+        self._open_handles: list[IO] = []
         self.global_parser = HelpOnErrorParser(add_help=False)
         self.global_parser.add_argument(
             "-V", "--verbose", action="store_true", help="Enable verbose output/progress"
         )
-
         self.parser = HelpOnErrorParser(
-            description=Colors.wrap(description, Colors.BOLD) if description else description,
-            epilog=Colors.wrap(epilog, Colors.BOLD) if epilog else epilog,
+            description=paint(description, BOLD) if description else None,
+            epilog=paint(epilog, BOLD) if epilog else None,
             parents=[self.global_parser],
             formatter_class=CliHelpFormatter,
         )
         self.parser.add_argument(
-            "-v",
-            "--version",
-            action="version",
-            version=f"%(prog)s {__version__}",
-            help="Show program's version number and exit",
-        )
-        _rename_option_group(self.parser, demote=False)
-
+            "-v", "--version", action="version", version=f"%(prog)s {__version__}",
+            help="Show program's version number and exit")
+        _retitle_general_options(self.parser, to_back=False)
         self.subparsers = self.parser.add_subparsers(
-            title=Colors.wrap("Commands", Colors.BOLD), dest="command", required=True
+            title=paint("Commands", BOLD), dest="command", required=True
         )
-        self._open_handles: list[IO] = []
+
+    # -- command registry & dispatch --------------------------------------
 
     def add_command(self, command: "Command") -> None:
         command.cli = self
         command.build(self.subparsers, parent_parsers=[self.global_parser])
 
     def run(self, args: list[str] | None = None) -> None:
-        parsed_args = self.parser.parse_args(args)
-        self.verbose = getattr(parsed_args, "verbose", False)
-        if hasattr(parsed_args, "func"):
-            from kaptive_tpu.client import KaptiveWebClientError
-            from kaptive_tpu.db import DatabaseError
-
-            try:
-                parsed_args.func(parsed_args)
-            except (DatabaseError, KaptiveWebClientError) as e:
-                print(f"❌ {e}", file=sys.stderr)
-                sys.exit(1)
-        else:
+        ns = self.parser.parse_args(args)
+        self.verbose = getattr(ns, "verbose", False)
+        action = getattr(ns, "func", None)
+        if action is None:
             self.parser.print_help()
+            return
+        from kaptive_tpu.client import KaptiveWebClientError
+        from kaptive_tpu.db import DatabaseError
+
+        try:
+            action(ns)
+        except (DatabaseError, KaptiveWebClientError) as exc:
+            self.exit(str(exc))
+
+    def exit(self, msg: str, code: int = 1) -> None:
+        print(f"❌ {msg}", file=sys.stderr)
+        sys.exit(code)
+
+    # -- lifecycle / exit-code mapping ------------------------------------
 
     def __enter__(self) -> Self:
         return self
 
     def __exit__(self, exc_type, exc_val, exc_tb) -> None:
         self.cleanup()
-        if exc_type is KeyboardInterrupt:
-            print("\n🛑 Cancelled by user.", file=sys.stderr)
-            sys.exit(1)
-        elif exc_type is BrokenPipeError:
-            devnull = os.open(os.devnull, os.O_WRONLY)
-            os.dup2(devnull, sys.stdout.fileno())
+        if exc_type is BrokenPipeError:
+            # Redirect stdout into /dev/null so interpreter teardown doesn't
+            # raise again while flushing.
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
             sys.exit(130)
-        elif exc_type is PermissionError:
-            print(f"🔒 Permission denied: {exc_val}", file=sys.stderr)
-            sys.exit(1)
-        elif exc_type is FileNotFoundError:
-            print(f"📄 File not found: {exc_val}", file=sys.stderr)
-            sys.exit(1)
-
-    def exit(self, msg: str, code: int = 1) -> None:
-        print(f"❌ {msg}", file=sys.stderr)
-        sys.exit(code)
+        for known, template, code in _EXIT_TABLE:
+            if exc_type is known:
+                print(template.format(exc=exc_val), file=sys.stderr)
+                sys.exit(code)
 
     def __del__(self) -> None:
         self.cleanup()
 
     def cleanup(self) -> None:
+        std_streams = (sys.stdin, sys.stdout, sys.stderr)
         for handle in self._open_handles:
-            if handle not in (sys.stdout, sys.stdin, sys.stderr):
+            if handle not in std_streams:
                 handle.close()
         self._open_handles.clear()
+
+    # -- stderr UX ---------------------------------------------------------
 
     def msg(self, msg: str | None, **kwargs: Any) -> None:
         if self.verbose:
             print(msg, file=sys.stderr, **kwargs)
 
     def progress(self, iterable: Iterable, msg: str) -> Iterable:
-        try:
-            total = len(iterable)  # type: ignore[arg-type]
-        except TypeError:
-            total = "?"
-        for i, item in enumerate(iterable, start=1):
+        r"""Yield items while rendering a ``\r i/total`` counter in verbose mode."""
+        sized = getattr(iterable, "__len__", None)
+        total: int | str = sized() if sized else "?"
+        done = 0
+        for item in iterable:
+            done += 1
             if self.verbose:
-                print(f"\r{msg} {i}/{total}", end="", file=sys.stderr, flush=True)
+                print(f"\r{msg} {done}/{total}", end="", file=sys.stderr, flush=True)
             yield item
         if self.verbose:
             print(file=sys.stderr)
@@ -212,35 +210,56 @@ class Cli:
         stdin when reading and stdout when writing; ``stdin``/``stdout`` name
         them explicitly.  Real files are tracked for cleanup."""
         reading = "r" in mode
-        if file == "stdin" or (file == "-" and reading):
-            return sys.stdin.buffer if "b" in mode else sys.stdin
-        if file == "stdout" or (file == "-" and not reading):
-            return sys.stdout.buffer if "b" in mode else sys.stdout
+        special = {"stdin": sys.stdin, "stdout": sys.stdout}
+        if file == "-":
+            file = "stdin" if reading else "stdout"
+        if (stream := special.get(file)) is not None:
+            return stream.buffer if "b" in mode else stream
         handle = open(file, mode)
         self._open_handles.append(handle)
         return handle
 
 
-class Command(ABC):
-    r"""Declarative CLI subcommand: name/description derived from class metadata."""
+# Shared output flag block: (flags, metavar, const, type, help) rows; the
+# ``-j`` row is dropped when a command excludes JSON output.
+_OUTPUT_FLAG_ROWS: tuple[tuple[tuple[str, ...], str, Any, Any, str], ...] = (
+    (("-l", "--loci"), "DIR", "./", Path,
+     "Write locus nucleotide fasta files to a directory (default: %(const)s)"),
+    (("-g", "--genes"), "DIR", "./", Path,
+     "Write gene nucleotide fasta files to a directory (default: %(const)s)"),
+    (("-p", "--proteins"), "DIR", "./", Path,
+     "Write translation amino-acid fasta files to a directory (default: %(const)s)"),
+    (("-j", "--json"), "FILE", "kaptive_results.jsonl", None,
+     "Write serialised results to a newline-delimited JSON (default: %(const)s)"),
+    (("--pha4ge",), "FILE", "kaptive_results.pha4ge", Path,
+     "Write PHA4GE-compliant serotyping report to a TSV file (default: %(const)s)"),
+    (("--plots",), "DIR", "./", Path,
+     "Generate interactive locus plots to a directory (default: %(const)s)"),
+)
 
-    name: str = ""
+
+class Command(ABC):
+    r"""Declarative CLI subcommand.
+
+    ``name``/``description``/``help_text`` default from the class name and
+    docstring; subclasses override ``setup_arguments`` to declare flags,
+    ``register_subcommands`` to attach children, ``get_shared_parser`` to
+    inject a parser every child inherits, and ``__call__`` to act.  A class
+    that leaves ``__call__`` untouched is a pure command group.
+    """
+
+    name = description = help_text = ""
     aliases: list[str] = []
-    description: str = ""
-    help_text: str = ""
 
     def __init__(self) -> None:
+        cls = type(self)
         self.parser: argparse.ArgumentParser | None = None
         self.subcommands: list[Command] = []
         self.cli: Cli | None = None
-
-        if not self.name:
-            self.name = type(self).__name__.lower()
-        if not self.description:
-            if type(self).__doc__ and type(self).__doc__ != Command.__doc__:
-                self.description = type(self).__doc__  # type: ignore[assignment]
-        if not self.help_text and self.description:
-            self.help_text = self.description.strip().split("\n")[0]
+        self.name = self.name or cls.__name__.lower()
+        own_doc = cls.__doc__ if cls.__doc__ != Command.__doc__ else None
+        self.description = self.description or own_doc or ""
+        self.help_text = self.help_text or self.description.strip().partition("\n")[0]
         self.register_subcommands()
 
     def register_subcommands(self) -> None:
@@ -252,93 +271,61 @@ class Command(ABC):
     def get_shared_parser(self) -> argparse.ArgumentParser | None:
         return None
 
-    def add_output_arguments(
-        self,
-        opts: argparse._ArgumentGroup,
-        tsv_flags: tuple[str, str] = ("-o", "--out"),
-        include_json: bool = True,
-    ) -> None:
-        help_msg = (
-            "Write serotyping results as a TSV report to a file (default: %(default)s)"
-            if tsv_flags[0] == "-o"
-            else "Write serotyping results as a TSV report to a file (default: %(const)s)"
-        )
-        opts.add_argument(
-            tsv_flags[0],
-            tsv_flags[1],
-            metavar="FILE",
-            nargs="?" if tsv_flags[0] == "-t" else None,
-            default="stdout" if tsv_flags[0] == "-o" else None,
-            const="stdout" if tsv_flags[0] == "-t" else None,
-            help=help_msg,
-        )
-        opts.add_argument(
-            "-l", "--loci", metavar="DIR", nargs="?", const="./", type=Path,
-            help="Write locus nucleotide fasta files to a directory (default: %(const)s)",
-        )
-        opts.add_argument(
-            "-g", "--genes", metavar="DIR", nargs="?", const="./", type=Path,
-            help="Write gene nucleotide fasta files to a directory (default: %(const)s)",
-        )
-        opts.add_argument(
-            "-p", "--proteins", metavar="DIR", nargs="?", const="./", type=Path,
-            help="Write translation amino-acid fasta files to a directory (default: %(const)s)",
-        )
-        if include_json:
-            opts.add_argument(
-                "-j", "--json", metavar="FILE", nargs="?", const="kaptive_results.jsonl",
-                help="Write serialised results to a newline-delimited JSON (default: %(const)s)",
-            )
-        opts.add_argument(
-            "--pha4ge", metavar="FILE", nargs="?", const="kaptive_results.pha4ge", type=Path,
-            help="Write PHA4GE-compliant serotyping report to a TSV file (default: %(const)s)",
-        )
-        opts.add_argument(
-            "--plots", metavar="DIR", nargs="?", const="./", type=Path,
-            help="Generate interactive locus plots to a directory (default: %(const)s)",
-        )
-
     def __call__(self, args: argparse.Namespace) -> None:
         pass
 
+    def add_output_arguments(self, opts: argparse._ArgumentGroup,
+                             tsv_flags: tuple[str, str] = ("-o", "--out"),
+                             include_json: bool = True) -> None:
+        r"""Attach the shared result-writer flag block (ref ``cli.py:424-504``)."""
+        optional_tsv = tsv_flags[0] == "-t"
+        opts.add_argument(
+            *tsv_flags,
+            metavar="FILE",
+            nargs="?" if optional_tsv else None,
+            default=None if optional_tsv else "stdout",
+            const="stdout" if optional_tsv else None,
+            help="Write serotyping results as a TSV report to a file (default: %(" +
+                 ("const" if optional_tsv else "default") + ")s)",
+        )
+        for flags, metavar, const, astype, helptext in _OUTPUT_FLAG_ROWS:
+            if flags[0] == "-j" and not include_json:
+                continue
+            extra = {"type": astype} if astype is not None else {}
+            opts.add_argument(
+                *flags, metavar=metavar, nargs="?", const=const, help=helptext, **extra
+            )
+
     @property
     def _runnable(self) -> bool:
-        r"""Whether this command has its own action (vs being a pure group)."""
         return type(self).__call__ is not Command.__call__
 
-    def build(
-        self,
-        subparsers: argparse._SubParsersAction,
-        parent_parsers: list[argparse.ArgumentParser] | None = None,
-    ) -> None:
+    def build(self, subparsers: argparse._SubParsersAction,
+              parent_parsers: list[argparse.ArgumentParser] | None = None) -> None:
         inherited = list(parent_parsers or [])
         self.parser = subparsers.add_parser(
             name=self.name,
             aliases=self.aliases,
-            description=Colors.wrap(self.description, Colors.BOLD),
+            description=paint(self.description, BOLD),
             help=self.help_text or self.description,
             parents=inherited,
             formatter_class=CliHelpFormatter,
         )
         self.setup_arguments()
-        _rename_option_group(self.parser, demote=True)
+        _retitle_general_options(self.parser, to_back=True)
         if self._runnable:
             self.parser.set_defaults(func=self.__call__)
         if self.subcommands:
-            self._wire_children(inherited)
-
-    def _wire_children(self, inherited: list[argparse.ArgumentParser]) -> None:
-        r"""Attach child commands; a pure command group requires one of them."""
-        registry = self.parser.add_subparsers(
-            title=Colors.wrap(f"{self.name} subcommands", Colors.BOLD),
-            dest=f"{self.name}_subcommand",
-            required=not self._runnable,
-        )
-        if shared := self.get_shared_parser():
-            inherited = [*inherited, shared]
-        for child in self.subcommands:
-            child.cli = self.cli
-            child.build(registry, parent_parsers=inherited)
+            registry = self.parser.add_subparsers(
+                title=paint(f"{self.name} subcommands", BOLD),
+                dest=f"{self.name}_subcommand",
+                required=not self._runnable,
+            )
+            if shared := self.get_shared_parser():
+                inherited = [*inherited, shared]
+            for child in self.subcommands:
+                child.cli = self.cli
+                child.build(registry, parent_parsers=inherited)
 
 
 def main() -> None:
@@ -346,13 +333,12 @@ def main() -> None:
     from kaptive_tpu.db.cli import Database
     from kaptive_tpu.serotyping.cli import Convert, Type
 
-    description = "🦠 kaptive-tpu: TPU-native in silico serotyping of surface antigen loci."
-    epilog = "📚 A TPU-native framework with the capabilities of Kaptive 3."
-
-    with Cli(description=description, epilog=epilog) as app:
-        app.add_command(Database())
-        app.add_command(Type())
-        app.add_command(Convert())
+    with Cli(
+        description="🦠 kaptive-tpu: TPU-native in silico serotyping of surface antigen loci.",
+        epilog="📚 A TPU-native framework with the capabilities of Kaptive 3.",
+    ) as app:
+        for command_cls in (Database, Type, Convert):
+            app.add_command(command_cls())
         app.run()
 
 

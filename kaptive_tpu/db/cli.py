@@ -1,16 +1,27 @@
 r"""CLI command tree for database management: ``kaptive-tpu db ...``.
 
 Capability parity with ``/root/reference/src/kaptive/db/cli.py``: the
-``Database`` parent command (:28-51) with ``list``/``available``/``add``/
-``install``/``update``/``reset``/``metadata`` and the ``extract`` tree with
-``loci``/``genes``/``proteins`` FASTA dumps (:314-418).
+``Database`` parent command with ``list``/``available``/``add``/``install``/
+``update``/``reset``/``metadata`` and the ``extract`` tree dumping loci/genes/
+proteins as FASTA (:28-418).  The simple name-printing and lifecycle commands
+here are parameterised bases rather than one-off classes.
 """
 
 from __future__ import annotations
 
 import argparse
 
-from kaptive_tpu.cli import Colors, Command
+from kaptive_tpu.cli import BOLD, BOLD_CYAN, Command, paint
+
+
+def _manager():
+    from kaptive_tpu.db import DatabaseManager
+
+    return DatabaseManager
+
+
+def _needs_database_arg(parser: argparse.ArgumentParser, helptext: str, **kw) -> None:
+    parser.add_argument_group("📥 Inputs").add_argument("database", help=helptext, **kw)
 
 
 class Database(Command):
@@ -24,18 +35,25 @@ class Database(Command):
 
     def register_subcommands(self) -> None:
         self.subcommands = [
-            List(),
-            Available(),
-            Add(),
-            Install(),
-            Update(),
-            Reset(),
-            Extract(),
-            Metadata(),
+            List(), Available(), Add(), Install(), Update(), Reset(), Extract(), Metadata(),
         ]
 
 
-class List(Command):
+class _PrintNames(Command):
+    r"""Prints one database keyword per line from a manager query."""
+
+    query = ""  # DatabaseManager classmethod to call
+    none_note = ""  # verbose note when the query comes back empty
+
+    def __call__(self, args: argparse.Namespace) -> None:
+        names = getattr(_manager(), self.query)()
+        if names:
+            print("\n".join(names))
+        else:
+            self.cli.msg(self.none_note)
+
+
+class List(_PrintNames):
     r"""📋 List all currently installed local databases.
 
     Aliases:
@@ -43,17 +61,10 @@ class List(Command):
     """
 
     aliases = ["ls"]
-
-    def __call__(self, args: argparse.Namespace) -> None:
-        from kaptive_tpu.db import DatabaseManager
-
-        if installed := DatabaseManager.installed():
-            print("\n".join(installed))
-        else:
-            self.cli.msg("❌ No databases installed")
+    query, none_note = "installed", "❌ No databases installed"
 
 
-class Available(Command):
+class Available(_PrintNames):
     r"""🌐 List all available official databases for installation.
 
     Aliases:
@@ -61,61 +72,53 @@ class Available(Command):
     """
 
     aliases = ["avail"]
-
-    def __call__(self, args: argparse.Namespace) -> None:
-        from kaptive_tpu.db import DatabaseManager
-
-        if known := DatabaseManager.known():
-            print("\n".join(known))
-        else:
-            self.cli.msg("❌ No available databases found")
+    query, none_note = "known", "❌ No available databases found"
 
 
 class Install(Command):
     r"""📦 Install known reference databases via keyword."""
 
     def setup_arguments(self) -> None:
-        opts = self.parser.add_argument_group("📥 Inputs")
-        opts.add_argument("database", help="Database keyword (see: `kaptive-tpu db avail`) or 'all'")
+        _needs_database_arg(
+            self.parser, "Database keyword (see: `kaptive-tpu db avail`) or 'all'"
+        )
 
     def __call__(self, args: argparse.Namespace) -> None:
-        if args.database == "all":
-            self.cli.msg("📥 Installing all known databases concurrently...")
-        else:
-            self.cli.msg(f"📥 Installing database '{args.database}'...")
-        from kaptive_tpu.db import DatabaseManager
-
-        DatabaseManager.install(args.database)
-        if args.database == "all":
-            self.cli.msg("✅ Successfully installed all known databases.")
-        else:
-            self.cli.msg(f"✅ Successfully installed '{args.database}'.")
+        target = args.database
+        self.cli.msg(
+            "📥 Installing all known databases concurrently..."
+            if target == "all"
+            else f"📥 Installing database '{target}'..."
+        )
+        _manager().install(target)
+        self.cli.msg(
+            "✅ Successfully installed all known databases."
+            if target == "all"
+            else f"✅ Successfully installed '{target}'."
+        )
 
 
 class Update(Command):
     r"""🔄 Update installed local databases from remote repositories."""
 
     def setup_arguments(self) -> None:
-        opts = self.parser.add_argument_group("📥 Inputs")
-        opts.add_argument(
-            "database",
-            nargs="?",
-            default="all",
-            help="Database keyword (see: `kaptive-tpu db list`) or 'all' (default: all)",
+        _needs_database_arg(
+            self.parser,
+            "Database keyword (see: `kaptive-tpu db list`) or 'all' (default: all)",
+            nargs="?", default="all",
         )
 
     def __call__(self, args: argparse.Namespace) -> None:
-        if args.database == "all":
-            self.cli.msg("🔄 Checking all installed databases for updates concurrently...")
-        else:
-            self.cli.msg(f"🔄 Checking '{args.database}' for updates...")
-        from kaptive_tpu.db import DatabaseManager
-
-        updated = False
-        for db in DatabaseManager.update(args.database):
+        target = args.database
+        self.cli.msg(
+            "🔄 Checking all installed databases for updates concurrently..."
+            if target == "all"
+            else f"🔄 Checking '{target}' for updates..."
+        )
+        refreshed = [db for db in _manager().update(target)]
+        for db in refreshed:
             self.cli.msg(f"✅ Updated {db.metadata.name} to version {db.metadata.version}")
-            updated = True
-        if not updated:
+        if not refreshed:
             self.cli.msg("🎉 All databases are already up to date.")
 
 
@@ -124,9 +127,7 @@ class Reset(Command):
 
     def __call__(self, args: argparse.Namespace) -> None:
         self.cli.msg("🧹 Uninstalling all local databases...")
-        from kaptive_tpu.db import DatabaseManager
-
-        DatabaseManager.reset()
+        _manager().reset()
         self.cli.msg("✅ All local databases have been uninstalled and reset.")
 
 
@@ -134,23 +135,22 @@ class Add(Command):
     r"""🔗 Add a custom reference database from a GitHub repository."""
 
     def setup_arguments(self) -> None:
-        opts = self.parser.add_argument_group("📥 Inputs")
-        opts.add_argument("database", help="Name for the new database")
-        opts = self.parser.add_argument_group(Colors.wrap("🌐 GitHub Details", Colors.BOLD))
-        opts.add_argument("owner", help="GitHub repository owner")
-        opts.add_argument("repo_name", help="GitHub repository name")
-        opts.add_argument(
-            "-b", "--branch", help="GitHub repository branch (default: main)", default="main", nargs="?"
+        _needs_database_arg(self.parser, "Name for the new database")
+        gh = self.parser.add_argument_group(paint("🌐 GitHub Details", BOLD))
+        gh.add_argument("owner", help="GitHub repository owner")
+        gh.add_argument("repo_name", help="GitHub repository name")
+        gh.add_argument(
+            "-b", "--branch", nargs="?", default="main",
+            help="GitHub repository branch (default: main)",
         )
 
     def __call__(self, args: argparse.Namespace) -> None:
-        from kaptive_tpu.db import DatabaseManager
-
         self.cli.msg(f"⤵️ Adding {args.database} from {args.owner}/{args.repo_name}/{args.branch}")
-        if db := DatabaseManager.add(args.owner, args.repo_name, args.database, args.branch):
-            self.cli.msg(f"✅ Added {db.metadata.name} v{db.metadata.version} successfully!")
-        else:
+        db = _manager().add(args.owner, args.repo_name, args.database, args.branch)
+        if db is None:
             self.cli.msg("❌ Failed to add database! Is it already installed?")
+        else:
+            self.cli.msg(f"✅ Added {db.metadata.name} v{db.metadata.version} successfully!")
 
 
 class Metadata(Command):
@@ -163,15 +163,14 @@ class Metadata(Command):
     aliases = ["info"]
 
     def setup_arguments(self) -> None:
-        opts = self.parser.add_argument_group("📥 Inputs")
-        opts.add_argument("database", help="Database path or keyword (see: `kaptive-tpu db list`)")
+        _needs_database_arg(
+            self.parser, "Database path or keyword (see: `kaptive-tpu db list`)"
+        )
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        from kaptive_tpu.db import DatabaseManager
-
-        db = DatabaseManager.get(args.database)
-        meta = db.metadata
-        fields = [
+    @staticmethod
+    def _rows(meta) -> list[tuple[str, str]]:
+        contacts = ", ".join(f"{who} <{mail}>" for who, mail in meta.contact.items())
+        return [
             ("Organism", meta.organism),
             ("Taxon", str(meta.taxon)),
             ("Antigen", meta.antigen),
@@ -182,14 +181,17 @@ class Metadata(Command):
             ("GenBank", meta.genbank),
             ("DOIs", ", ".join(meta.doi) if meta.doi else "None"),
             ("Repository", f"https://github.com/{meta.owner}/{meta.repo}/tree/{meta.branch}"),
-            ("Contact", ", ".join(f"{k} <{v}>" for k, v in meta.contact.items())),
+            ("Contact", contacts),
         ]
-        max_len = max(len(k) for k, v in fields)
-        print(
-            Colors.wrap(f"\n📊 Metadata for {meta.name}\n", Colors.BOLD_CYAN)
-            + "\n".join(f"  {Colors.wrap(k.ljust(max_len), Colors.BOLD)}  {v}" for k, v in fields)
-            + "\n"
+
+    def __call__(self, args: argparse.Namespace) -> None:
+        meta = _manager().get(args.database).metadata
+        rows = self._rows(meta)
+        width = max(len(label) for label, _ in rows)
+        body = "\n".join(
+            f"  {paint(label.ljust(width), BOLD)}  {value}" for label, value in rows
         )
+        print(paint(f"\n📊 Metadata for {meta.name}\n", BOLD_CYAN) + body + "\n")
 
 
 class Extract(Command):
@@ -200,14 +202,13 @@ class Extract(Command):
 
     def get_shared_parser(self) -> argparse.ArgumentParser:
         parser = argparse.ArgumentParser(add_help=False)
-        opts = parser.add_argument_group("📥 Inputs")
-        opts.add_argument("database", help="Database path or keyword (see: `kaptive-tpu db list`)")
-        opts = parser.add_argument_group("📤 Outputs")
-        opts.add_argument(
+        _needs_database_arg(parser, "Database path or keyword (see: `kaptive-tpu db list`)")
+        out = parser.add_argument_group("📤 Outputs")
+        out.add_argument(
             "-o", "--out", default="-", metavar="FILE",
             help="Output file to write fasta to (default: stdout)",
         )
-        opts.add_argument(
+        out.add_argument(
             "--use-indices", action="store_true",
             help="Use numeric indices instead of string IDs for fasta headers",
         )
@@ -222,12 +223,10 @@ class _ExtractRecords(Command):
 
     def __call__(self, args: argparse.Namespace) -> None:
         self.cli.msg(f"💽 Loading database {args.database}...")
-        from kaptive_tpu.db import DatabaseManager
-
-        db = DatabaseManager.get(args.database)
-        out_handle = self.cli.open_file(args.out, "wb")
+        db = _manager().get(args.database)
+        sink = self.cli.open_file(args.out, "wb")
         self.cli.msg(f"📤 Extracting {self.noun}...")
-        out_handle.write(getattr(db, self.record_attr).to_fasta(args.use_indices))
+        sink.write(getattr(db, self.record_attr).to_fasta(args.use_indices))
         self.cli.msg(f"✅ Written {self.noun} sequences to {args.out}.")
 
 

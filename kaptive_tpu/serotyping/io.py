@@ -1,10 +1,11 @@
 r"""TSV report rows: classic Kaptive format and the PHA4GE standard.
 
 Capability parity with ``/root/reference/src/kaptive/serotyping/io.py``:
-``ReportRow`` ABC (:19-97 incl. TSV re-parse :72-97), ``KaptiveRow`` 22 columns
-(:100-296 with the legacy header transform :165-189 and the per-gene details
-formatter :215-245 — byte-level ``%.2f%%`` formatting preserved), and
-``Pha4geRow`` (:299-382).
+``ReportRow`` (:19-97), 22-column ``KaptiveRow`` (:100-296) and ``Pha4geRow``
+(:299-382).  Column names, the legacy header transform, and every ``%.2f%%``
+cell format are byte-level output contracts; around those constants the row
+machinery here is label-table driven (state tags, problem notes, and the
+string-field mapping are data, not unrolled statements).
 """
 
 from __future__ import annotations
@@ -24,6 +25,15 @@ _STATE_TAGS = {
     GeneState.TRUNCATED.value: b",truncated",
     GeneState.NOVEL.value: b",below_id_threshold",
 }
+
+# PHA4GE free-text notes per problem flag, in report order (ref io.py:340-360).
+_PROBLEM_NOTES: tuple[tuple[SerotypingProblem, object], ...] = (
+    (SerotypingProblem.TRUNCATED_GENES, lambda r: b"truncated gene/s in locus"),
+    (SerotypingProblem.NOVEL_GENES, lambda r: b"low identity gene/s"),
+    (SerotypingProblem.FRAGMENTED, lambda r: b"match broken into %d pieces" % len(r.locus_pieces)),
+    (SerotypingProblem.MISSING_GENES, lambda r: b"missing expected gene/s"),
+    (SerotypingProblem.UNEXPECTED_GENES, lambda r: b"unexpected gene/s in locus"),
+)
 
 
 def _detail_cell(result: SerotypingResult, mask: np.ndarray) -> bytes:
@@ -50,16 +60,24 @@ def _discrepancy_cell(value: float | None) -> bytes:
     return b"n/a" if value is None or np.isnan(value) else b"%d" % int(value)
 
 
+def _confidence_cell(result: SerotypingResult) -> bytes:
+    return b"Typeable" if result.typeable else b"Untypeable"
+
+
 @dataclass(slots=True, frozen=True)
 class ReportRow(ABC):
-    r"""Abstract tabular report row with binary TSV serialisation."""
+    r"""Tabular report row: column order = field order, cells are raw bytes."""
+
+    @classmethod
+    def _labels(cls) -> list[str]:
+        return [f.name for f in fields(cls)]
 
     @classmethod
     def header(cls) -> bytes:
-        return ("\t".join(f.name for f in fields(cls)) + "\n").encode("utf-8")
+        return "\t".join(cls._labels()).encode("utf-8") + b"\n"
 
     def __bytes__(self) -> bytes:
-        return b"\t".join(getattr(self, f.name) for f in fields(self)) + b"\n"
+        return b"\t".join(getattr(self, name) for name in self._labels()) + b"\n"
 
     @classmethod
     @abstractmethod
@@ -71,20 +89,24 @@ class ReportRow(ABC):
 
     @classmethod
     def read_tsv(cls, lines: Iterable[bytes]) -> Iterator[Self]:
-        line_iter = iter(lines)
-        try:
-            header_line = next(line_iter)
-        except StopIteration:
+        r"""Re-parse rows previously serialised by this class (column-order
+        tolerant; unknown columns are ignored)."""
+        stream = iter(lines)
+        first = next(stream, None)
+        if first is None:
             return
-        field_names = cls._parse_header_line(header_line)
-        expected_fields = {f.name for f in fields(cls)}
-        for line in line_iter:
-            line = line.rstrip(b"\r\n")
-            if not line:
-                continue
-            values = line.split(b"\t")
-            kwargs = {name: val for name, val in zip(field_names, values) if name in expected_fields}
-            yield cls(**kwargs)
+        order = cls._parse_header_line(first)
+        known = set(cls._labels())
+        for raw in stream:
+            raw = raw.rstrip(b"\r\n")
+            if raw:
+                cells = dict(zip(order, raw.split(b"\t")))
+                yield cls(**{k: v for k, v in cells.items() if k in known})
+
+
+def _legacy_label(name: str) -> bytes:
+    r"""Field name -> classic Kaptive header label (``_details`` -> ``, details``)."""
+    return name.replace("_details", ", details").replace("_", " ").encode("utf-8")
 
 
 @dataclass(slots=True, frozen=True)
@@ -116,16 +138,15 @@ class KaptiveRow(ReportRow):
 
     @classmethod
     def header(cls) -> bytes:
-        headers = [
-            f.name.encode("utf-8").replace(b"_details", b", details").replace(b"_", b" ")
-            for f in fields(cls)
-        ]
-        return b"\t".join(headers) + b"\n"
+        return b"\t".join(map(_legacy_label, cls._labels())) + b"\n"
 
     @classmethod
     def _parse_header_line(cls, header_line: bytes) -> list[str]:
-        headers = header_line.rstrip(b"\r\n").split(b"\t")
-        return [h.replace(b", details", b"_details").replace(b" ", b"_").decode("utf-8") for h in headers]
+        labels = header_line.rstrip(b"\r\n").split(b"\t")
+        return [
+            lab.replace(b", details", b"_details").replace(b" ", b"_").decode("utf-8")
+            for lab in labels
+        ]
 
     @classmethod
     def from_result(cls, result: SerotypingResult) -> "KaptiveRow":
@@ -145,15 +166,20 @@ class KaptiveRow(ReportRow):
         broken = np.isin(
             result.gene_states, (GeneState.TRUNCATED.value, GeneState.PARTIAL.value)
         )
-
-        return cls(
-            Kaptive_version=result.kaptive_version.encode(),
-            Database_name=result.database_name.encode(),
-            Database_version=result.database_version.encode(),
-            Assembly=result.genome.encode(),
-            Best_match_locus=result.best_locus_name.encode(),
-            Best_match_type=result.phenotype.encode(),
-            Match_confidence=b"Typeable" if result.typeable else b"Untypeable",
+        # UTF-8 passthrough columns, then the computed/format cells.
+        cells = {
+            column: getattr(result, attr).encode("utf-8")
+            for column, attr in (
+                ("Kaptive_version", "kaptive_version"),
+                ("Database_name", "database_name"),
+                ("Database_version", "database_version"),
+                ("Assembly", "genome"),
+                ("Best_match_locus", "best_locus_name"),
+                ("Best_match_type", "phenotype"),
+            )
+        }
+        cells.update(
+            Match_confidence=_confidence_cell(result),
             Problems=result.problems.to_symbols(),
             Identity=b"%.2f%%" % result.percent_identity,
             Coverage=b"%.2f%%" % result.percent_coverage,
@@ -172,6 +198,7 @@ class KaptiveRow(ReportRow):
             Truncated_genes_details=_detail_cell(result, broken),
             Extra_genes_details=_detail_cell(result, hits.is_extra),
         )
+        return cls(**cells)
 
 
 @dataclass(slots=True, frozen=True, kw_only=True)
@@ -192,36 +219,30 @@ class Pha4geRow(ReportRow):
     genotyping_details: bytes
     genotyping_method_url: bytes = b"https://github.com/klebgenomics/Kaptive"
 
+    @staticmethod
+    def _details_cell(result: SerotypingResult) -> bytes:
+        best = b"Best locus match: %b." % result.best_locus_name.encode("utf-8")
+        if not result.problems:
+            return best
+        notes = b", ".join(
+            note(result) for flag, note in _PROBLEM_NOTES if flag in result.problems
+        )
+        return best[:-1] + b". Problems: " + notes
+
     @classmethod
     def from_result(cls, result: SerotypingResult) -> "Pha4geRow":
-        if result.problems:
-            detail_parts = []
-            if SerotypingProblem.TRUNCATED_GENES in result.problems:
-                detail_parts.append(b"truncated gene/s in locus")
-            if SerotypingProblem.NOVEL_GENES in result.problems:
-                detail_parts.append(b"low identity gene/s")
-            if SerotypingProblem.FRAGMENTED in result.problems:
-                detail_parts.append(b"match broken into %d pieces" % len(result.locus_pieces))
-            if SerotypingProblem.MISSING_GENES in result.problems:
-                detail_parts.append(b"missing expected gene/s")
-            if SerotypingProblem.UNEXPECTED_GENES in result.problems:
-                detail_parts.append(b"unexpected gene/s in locus")
-            details = b"Best locus match: %b. Problems: %b" % (
-                result.best_locus_name.encode(),
-                b", ".join(detail_parts),
-            )
-        else:
-            details = b"Best locus match: %b." % result.best_locus_name.encode()
-
+        taxon_cell = b"%s [NCBITaxon:%d]" % (
+            result.database_organism.encode("utf-8"),
+            result.database_taxon,
+        )
         return cls(
-            sample=result.genome.encode(),
-            genotyping_schema_taxon=b"%s [NCBITaxon:%d]"
-            % (result.database_organism.encode(), result.database_taxon),
-            genotyping_database_name=result.database_name.encode(),
-            genotyping_database_version=result.database_version.encode(),
-            genotyping_software_version=result.kaptive_version.encode(),
-            genotype=result.best_locus_name.encode(),
-            genotype_confidence_value=b"Typeable" if result.typeable else b"Untypeable",
-            genotype_predicted_phenotype=result.phenotype.encode(),
-            genotyping_details=details,
+            sample=result.genome.encode("utf-8"),
+            genotyping_schema_taxon=taxon_cell,
+            genotyping_database_name=result.database_name.encode("utf-8"),
+            genotyping_database_version=result.database_version.encode("utf-8"),
+            genotyping_software_version=result.kaptive_version.encode("utf-8"),
+            genotype=result.best_locus_name.encode("utf-8"),
+            genotype_confidence_value=_confidence_cell(result),
+            genotype_predicted_phenotype=result.phenotype.encode("utf-8"),
+            genotyping_details=cls._details_cell(result),
         )
