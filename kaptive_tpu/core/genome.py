@@ -1,28 +1,32 @@
 r"""Genome assembly loading, FASTA I/O, and lazy device-encoded contig batches.
 
 Capability parity with ``/root/reference/src/kaptive/core/genome.py``:
-``FastaReader`` (:24-87, backed there by the rammappy Rust parser at :44-46) and
+FASTA reading (:24-87, backed there by the rammappy Rust parser) and
 ``GenomeAssembly`` (:90-242) with transparent ``.gz``/``.bz2``/``.xz``
-decompression (:105-106) and a thread-safe lazily-built mapper index
-(:177-191).  Here the lazy index is the TPU minimizer index of
-:mod:`kaptive_tpu.ops.minimizer` instead of a rammappy index, and FASTA parsing
-uses the native C++ ``hostio`` parser when built (``native/hostio.cpp``), with a
-byte-level Python fallback.
+decompression and a thread-safe lazily-built mapper index (:177-191).  Here
+FASTA parsing is a module-level function backed by the native C++ ``hostio``
+parser when built (``native/hostio.cpp``) with a byte-splitting fallback, and
+the lazy index is the TPU contig minimizer index of
+:mod:`kaptive_tpu.ops.minimizer`.
 """
 
 from __future__ import annotations
 
+import bz2
+import gzip
+import lzma
+import re
 import threading
-from bz2 import open as bzopen
-from collections.abc import Callable, Iterable, Iterator
+from collections.abc import Iterable, Iterator
 from dataclasses import dataclass, field
-from gzip import open as gzopen
-from lzma import open as lzopen
 from pathlib import Path
-from re import compile as re_compile
-from typing import IO, Any, ClassVar, Self
+from typing import IO, Any, Self
 
 from kaptive_tpu.core.seq import SeqRecord, Sequences
+
+# Recognised assembly filename shapes (same set the reference accepts).
+_FASTA_NAME = re.compile(r"\.(?P<ext>f(asta|a|na|fn|as))(\.(?P<codec>gz|bz2|xz))?$")
+_CODECS = {"gz": gzip.open, "bz2": bz2.open, "xz": lzma.open, None: open}
 
 
 def parse_fasta_bytes(data: bytes) -> list[tuple[str, bytes]]:
@@ -47,57 +51,88 @@ def parse_fasta_bytes(data: bytes) -> list[tuple[str, bytes]]:
     return records
 
 
-class FastaReader(Iterator):  # type: ignore[type-arg]
-    r"""FASTA stream iterator yielding :class:`SeqRecord` (ref ``genome.py:24-87``)."""
+def read_fasta(handle: IO[bytes]) -> list[SeqRecord]:
+    r"""Drain a binary FASTA stream into :class:`SeqRecord` rows."""
+    return [SeqRecord(id=name, seq=seq) for name, seq in parse_fasta_bytes(handle.read())]
+
+
+class FastaReader:
+    r"""Context-managed FASTA stream iterator (closes the handle on exit)."""
 
     def __init__(self, handle: IO[bytes]) -> None:
         self._handle = handle
-        self._parsed = parse_fasta_bytes(self._handle.read())
-        self._generator = (SeqRecord(seq=seq, id=name) for name, seq in self._parsed)
+        self._records = iter(read_fasta(handle))
 
     def __enter__(self) -> Self:
         return self
 
-    def __exit__(self, exc_type: Any, exc_val: Any, exc_tb: Any) -> None:
-        self._handle.close()
+    def __exit__(self, *exc_info: Any) -> None:
+        self.close()
 
-    def __del__(self) -> None:
+    def close(self) -> None:
         try:
             self._handle.close()
         except Exception:
             pass
 
-    def __iter__(self) -> Self:
-        return self
+    __del__ = close
+
+    def __iter__(self) -> Iterator[SeqRecord]:
+        return self._records
 
     def __next__(self) -> SeqRecord:
-        return next(self._generator)
+        return next(self._records)
 
 
 @dataclass(slots=True, frozen=True)
 class GenomeAssembly:
     r"""Contig container with transparent decompression and a lazy TPU minimizer index."""
 
-    _SEQUENCE_FILE_REGEX = re_compile(r"\.(?P<ext>f(asta|a|na|fn|as))(\.(?P<compression>gz|bz2|xz))?$")
-    _OPENERS: ClassVar[dict[str, Callable]] = {"gz": gzopen, "bz2": bzopen, "xz": lzopen}  # type: ignore[type-arg]
     id: str
     contigs: Sequences
     id_map: dict[str, int] = field(init=False, repr=False, hash=False, compare=False)
-    minimizer_index: Any = field(default=None, init=False, repr=False, hash=False, compare=False)
+    # one-slot cache + lock for the lazily built device index
+    _index_slot: list = field(default_factory=list, init=False, repr=False, hash=False, compare=False)
     _index_lock: threading.Lock = field(
         default_factory=threading.Lock, init=False, repr=False, hash=False, compare=False
     )
 
     def __post_init__(self) -> None:
-        object.__setattr__(self, "id_map", {name: i for i, name in enumerate(self.contigs.ids)})
+        lookup = {name: row for row, name in enumerate(self.contigs.ids)}
+        object.__setattr__(self, "id_map", lookup)
+
+    # -- construction ------------------------------------------------------
 
     @classmethod
     def ensure(cls, genome: Self | str | Path | IO[bytes]) -> Self:
+        r"""Coerce an assembly, path, or binary stream into an assembly."""
         if isinstance(genome, cls):
             return genome
         if isinstance(genome, (str, Path)):
             return cls.from_file(genome)
         return cls.from_stream(genome)  # type: ignore[arg-type]
+
+    @classmethod
+    def from_file(cls, filepath: str | Path) -> Self:
+        path = Path(filepath)
+        shape = _FASTA_NAME.search(path.name)
+        if shape is None:
+            raise NotImplementedError(f"Unsupported format: {path}")
+        opener = _CODECS[shape.group("codec")]
+        with opener(path, mode="rb") as handle:
+            return cls.from_stream(handle, path.name.removesuffix(shape.group()))
+
+    @classmethod
+    def from_stream(cls, handle: IO[bytes], id_: str | None = None) -> Self:
+        records = read_fasta(handle)
+        handle.close()
+        return cls.from_records(id_ or getattr(handle, "name", "unknown"), records)
+
+    @classmethod
+    def from_records(cls, id_: str, records: Iterable[SeqRecord]) -> Self:
+        return cls(id_, Sequences.from_records(list(records)))
+
+    # -- container protocol ------------------------------------------------
 
     def __len__(self) -> int:
         return len(self.contigs.seqs)
@@ -109,35 +144,23 @@ class GenomeAssembly:
         return self.id
 
     def __getitem__(self, item: str) -> bytes:
-        idx = self.id_map[item]
-        offset_val = self.contigs.offsets[idx]
-        length_val = self.contigs.lengths[idx]
-        return self.contigs.seqs[offset_val : offset_val + length_val].tobytes()
+        row = self.id_map[item]
+        lo = self.contigs.offsets[row]
+        return self.contigs.seqs[lo : lo + self.contigs.lengths[row]].tobytes()
+
+    # -- lazy device index -------------------------------------------------
 
     def get_minimizer_index(self) -> Any:
-        r"""Lazily build and cache the TPU contig minimizer index (ref lazy rammappy index ``genome.py:177-191``)."""
-        if self.minimizer_index is None:
+        r"""Lazily build and cache the TPU contig minimizer index
+        (the reference's lazy rammappy index, ``genome.py:177-191``)."""
+        if not self._index_slot:
             with self._index_lock:
-                if self.minimizer_index is None:
+                if not self._index_slot:
                     from kaptive_tpu.ops.minimizer import ContigIndex
 
-                    idx = ContigIndex.build(self.contigs)
-                    object.__setattr__(self, "minimizer_index", idx)
-        return self.minimizer_index
+                    self._index_slot.append(ContigIndex.build(self.contigs))
+        return self._index_slot[0]
 
-    @classmethod
-    def from_file(cls, filepath: str | Path) -> Self:
-        filepath = Path(filepath)
-        if not (m := cls._SEQUENCE_FILE_REGEX.search(filepath.name)):
-            raise NotImplementedError(f"Unsupported format: {filepath}")
-        with cls._OPENERS.get(m.group("compression"), open)(filepath, mode="rb") as handle:
-            return cls.from_stream(handle, filepath.name.removesuffix(m.group()))
-
-    @classmethod
-    def from_stream(cls, handle: IO[bytes], id_: str | None = None) -> Self:
-        with FastaReader(handle) as records:
-            return cls.from_records(id_ or getattr(handle, "name", "unknown"), records)
-
-    @classmethod
-    def from_records(cls, id_: str, records: Iterable[SeqRecord]) -> Self:
-        return cls(id_, Sequences.from_records(list(records)))
+    @property
+    def minimizer_index(self) -> Any:
+        return self._index_slot[0] if self._index_slot else None

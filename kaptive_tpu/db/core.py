@@ -4,9 +4,12 @@ Capability parity with ``/root/reference/src/kaptive/db/core.py``: the
 ``Database`` container (:32-507) with the same logical fields (:82-98),
 ``get_locus_data`` (:100-141), ``max_locus_length`` (:143-152), load/pickle
 round-trip (:242-287) and the ``from_genbank`` compiler (:289-507) including
-locus/type/Extra-genes note parsing (:322-324, :344-441), vocabulary building
-(:391-397), phenotype wildcard parsing (:182-219) and mask construction
-(:457-505).
+locus/type/Extra-genes note parsing, vocabulary building, phenotype wildcard
+parsing and mask construction.
+
+The compiler here runs in two phases: GenBank records parse into per-locus
+``_LocusDraft`` rows first, then the drafts flatten into the SoA arrays with
+vectorised offsets/indices (``np.repeat`` instead of per-gene index loops).
 
 TPU addition: the compiled database carries a :class:`~kaptive_tpu.ops.mapper.GeneIndex`
 — the static hash-sorted gene minimizer table plus 2-bit encoded gene codes —
@@ -17,17 +20,18 @@ lazily and cached inside the pickle artifact.
 from __future__ import annotations
 
 import pickle
+import re
 import tomllib
 from collections.abc import Iterable
 from dataclasses import dataclass, field
 from fnmatch import filter as fnmatch_filter
 from pathlib import Path
-from re import compile as re_compile
 from typing import TYPE_CHECKING, Any
 
 import numpy as np
 import numpy.typing as npt
 
+from kaptive_tpu.core.collections import cumulative_offsets
 from kaptive_tpu.core.interval import Intervals
 from kaptive_tpu.core.kmers import FracMinHashIndex
 from kaptive_tpu.core.seq import SeqRecord, Sequences
@@ -36,6 +40,138 @@ from kaptive_tpu.db.models import DatabaseError, DatabaseMetadata, Phenotype, Ph
 if TYPE_CHECKING:
     from kaptive_tpu.compare import LocusData
     from kaptive_tpu.ops.mapper import GeneIndex
+
+# GenBank source-feature note patterns (curation format, ref db/core.py:322-324).
+_NOTE_PATTERNS = {
+    "locus": re.compile(r"locus:\s?(.*)$"),
+    "type": re.compile(r"type:\s?(.*)$"),
+    "extra": re.compile(r"Extra genes:\s?(.*)$"),
+}
+
+
+class _Vocab:
+    r"""Insertion-ordered string -> dense id registry."""
+
+    def __init__(self) -> None:
+        self._ids: dict[str, int] = {}
+
+    def id_of(self, key: str) -> int:
+        return self._ids.setdefault(key, len(self._ids))
+
+    def keys(self) -> tuple[str, ...]:
+        return tuple(self._ids)
+
+    def __getitem__(self, key: str) -> int:
+        return self._ids[key]
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+
+@dataclass(slots=True)
+class _CdsRow:
+    r"""One CDS feature during compilation."""
+
+    gene_id: str
+    cluster_id: int
+    description_id: int
+    position: int  # 1-based within locus; 0 for extra-gene pseudo-loci
+    start: int
+    end: int
+    strand: int
+
+
+@dataclass(slots=True)
+class _LocusDraft:
+    r"""One parsed GenBank record before flattening."""
+
+    name: str
+    serotype: str
+    is_extra: bool
+    sequence: bytes
+    cds: list[_CdsRow]
+
+
+def _scan_notes(rec) -> tuple[str, str, bool]:
+    r"""Pull (locus_name, serotype, extra?) out of the source feature's notes."""
+    notes = [q.value for q in rec.features[0].qualifiers if q.key == "note"]
+    if not notes:
+        raise DatabaseError(f'Locus has no "note" qualifiers: {rec.name}')
+    name, serotype = "", ""
+    for note in notes:
+        if hit := _NOTE_PATTERNS["extra"].search(note):
+            return hit.group(1), "", True
+        if not name and (hit := _NOTE_PATTERNS["locus"].search(note)):
+            name = hit.group(1)
+        if not serotype and (hit := _NOTE_PATTERNS["type"].search(note)):
+            serotype = hit.group(1)
+    if not name:
+        raise DatabaseError(f'Locus has no valid "locus" qualifiers: {rec.name}')
+    return name, serotype, False
+
+
+def _first_qualifier(feat, key: str) -> str:
+    for q in feat.qualifiers:
+        if q.key == key:
+            return q.value
+    return ""
+
+
+def _draft_locus(rec, clusters: _Vocab, descriptions: _Vocab) -> _LocusDraft:
+    r"""Parse one GenBank record into a draft (ref ``db/core.py:344-441``)."""
+    if not rec.features:
+        raise DatabaseError(f"Locus has no features: {rec.name}")
+    name, serotype, is_extra = _scan_notes(rec)
+    draft = _LocusDraft(name, serotype, is_extra, rec.sequence.upper(), [])
+    for feat in rec.features[1:]:
+        if feat.kind != "CDS":
+            continue
+        cluster = _first_qualifier(feat, "gene")
+        nth = len(draft.cds) + 1
+        lo, hi = sorted((feat.location.start, feat.location.end))
+        draft.cds.append(
+            _CdsRow(
+                gene_id=cluster if is_extra else f"{name}_{nth:02}_{cluster}",
+                cluster_id=clusters.id_of(cluster),
+                description_id=descriptions.id_of(_first_qualifier(feat, "product")),
+                position=0 if is_extra else nth,
+                start=lo,
+                end=hi,
+                strand=-1 if feat.location.strand in (-1, "-") else 1,
+            )
+        )
+    return draft
+
+
+def _compile_phenotypes(
+    metadata: DatabaseMetadata,
+    locus_names: tuple[str, ...],
+    clusters: _Vocab,
+) -> Phenotypes:
+    r"""Wildcard-expand the TOML phenotype rules into SoA mask matrices."""
+    rules = [
+        Database._parse_phenotype(key, spec, locus_names, clusters.keys())
+        for key, spec in metadata.phenotype_logic.items()
+    ]
+    locus_col = {name: i for i, name in enumerate(locus_names)}
+    shape_loci = (len(rules), len(locus_names))
+    shape_clusters = (len(rules), len(clusters))
+    locus_masks = np.zeros(shape_loci, dtype=bool)
+    extra_masks = np.zeros(shape_clusters, dtype=np.int8)
+    inactive_masks = np.zeros(shape_clusters, dtype=np.int8)
+    for row, rule in enumerate(rules):
+        locus_masks[row, [locus_col[n] for n in rule.loci]] = True
+        extra_masks[row, [clusters[n] for n in rule.extra_genes]] = 1
+        inactive_masks[row, [clusters[n] for n in rule.inactive_genes]] = 1
+    return Phenotypes(
+        ids=np.array([r.id.encode("utf-8") for r in rules], dtype="S32"),
+        locus_masks=locus_masks,
+        extra_masks=extra_masks,
+        inactive_masks=inactive_masks,
+        extra_counts=extra_masks.sum(axis=1, dtype=np.int8),
+        priorities=np.array([r.priority for r in rules], dtype=np.int8),
+        as_suffix=np.array([r.as_suffix for r in rules], dtype=bool),
+    )
 
 
 @dataclass(frozen=True, slots=True)
@@ -70,37 +206,37 @@ class Database:
             self._gene_index_cache.append(GeneIndex.build(self.genes))
         return self._gene_index_cache[0]
 
+    def _locus_row(self, locus_name: str) -> int:
+        return self.loci.ids.index(locus_name)
+
+    def _gene_span(self, locus_row: int) -> slice:
+        lo = int(self.locus_gene_offsets[locus_row])
+        return slice(lo, lo + int(self.locus_gene_lengths[locus_row]))
+
     def get_locus_data(self, locus_name: str) -> "LocusData":
+        r"""Locus view for comparison/plotting (ref ``db/core.py:100-141``)."""
         from kaptive_tpu.compare import LocusData
         from kaptive_tpu.serotyping.models import GeneState
 
-        locus_idx = self.loci.ids.index(locus_name)
-        start = self.locus_gene_offsets[locus_idx]
-        length = self.locus_gene_lengths[locus_idx]
-
-        desc_ids = self.gene_description_ids[start : start + length]
-        raw_descs = [
-            self.description_keys[i].decode("utf-8")
-            if isinstance(self.description_keys[i], bytes)
-            else str(self.description_keys[i])
-            for i in desc_ids
+        span = self._gene_span(self._locus_row(locus_name))
+        labels = [
+            key.decode("utf-8") if isinstance(key, bytes) else str(key)
+            for key in (self.description_keys[i] for i in self.gene_description_ids[span])
         ]
-        descriptions = np.asarray(raw_descs, dtype=object)
-        states = np.full(length, GeneState.NORMAL.value, dtype=np.int8)
-
+        n = span.stop - span.start
         return LocusData(
-            proteins=self.translations[start : start + length],  # type: ignore[arg-type]
+            proteins=self.translations[span],  # type: ignore[arg-type]
             name=locus_name,
-            backbone=self.gene_intervals[start : start + length],  # type: ignore[arg-type]
+            backbone=self.gene_intervals[span],  # type: ignore[arg-type]
             pieces=None,
             gene_ctg_indices=None,
-            gene_states=states,
-            gene_descriptions=descriptions,
+            gene_states=np.full(n, GeneState.NORMAL.value, dtype=np.int8),
+            gene_descriptions=np.asarray(labels, dtype=object),
         )
 
     @property
     def max_locus_length(self) -> int:
-        return int(np.max(self.loci.lengths)) if len(self.loci) > 0 else 0
+        return int(self.loci.lengths.max()) if len(self.loci) else 0
 
     @property
     def cluster_vocab(self) -> dict[str, int]:
@@ -118,36 +254,42 @@ class Database:
         cluster_iterable: Iterable[str],
     ) -> Phenotype:
         r"""Parse one phenotype rule with ``*`` wildcards (ref :182-219)."""
-        loci, inactive, extra = [], [], []
-        for token, result, iterable in (
-            ("loci", loci, locus_iterable),
-            ("extra_genes", extra, cluster_iterable),
-            ("inactive_genes", inactive, cluster_iterable),
+        picked: dict[str, list[str]] = {}
+        for token, names in (
+            ("loci", locus_iterable),
+            ("extra_genes", cluster_iterable),
+            ("inactive_genes", cluster_iterable),
         ):
-            for t in data.get(token, []):
-                if "*" in t:
-                    result += fnmatch_filter(iterable, t)
-                else:
-                    if t in iterable:
-                        result.append(t)
-        return Phenotype(id_, set(loci), set(extra), set(inactive), data.get("priority", 50))
+            chosen = picked.setdefault(token, [])
+            for pattern in data.get(token, []):
+                if "*" in pattern:
+                    chosen += fnmatch_filter(names, pattern)
+                elif pattern in names:
+                    chosen.append(pattern)
+        return Phenotype(
+            id_,
+            set(picked["loci"]),
+            set(picked["extra_genes"]),
+            set(picked["inactive_genes"]),
+            data.get("priority", 50),
+        )
+
+    # -- persistence -------------------------------------------------------
 
     @staticmethod
     def _check_file(file: str | Path, min_size: int = 1) -> Path:
-        if isinstance(file, str):
-            file = Path(file)
-        if file.is_file() and file.stat().st_size >= min_size:
-            return file
-        raise FileNotFoundError(file)
+        path = Path(file)
+        if not (path.is_file() and path.stat().st_size >= min_size):
+            raise FileNotFoundError(path)
+        return path
 
     @classmethod
     def load(cls, file: str | Path) -> "Database":
-        file_path = cls._check_file(file)
-        if file_path.suffix == ".gbk":
-            return cls.from_genbank(file_path)
-        elif file_path.suffix == ".pkl":
-            return cls.from_pickle(file_path)
-        raise DatabaseError(f"File {file} not supported")
+        path = cls._check_file(file)
+        loader = {".gbk": cls.from_genbank, ".pkl": cls.from_pickle}.get(path.suffix)
+        if loader is None:
+            raise DatabaseError(f"File {file} not supported")
+        return loader(path)
 
     @classmethod
     def from_pickle(cls, file: str | Path) -> "Database":
@@ -156,168 +298,66 @@ class Database:
     def save(self, file: str | Path) -> None:
         Path(file).write_bytes(pickle.dumps(self))
 
+    # -- the compiler ------------------------------------------------------
+
     @classmethod
     def from_genbank(cls, file: str | Path) -> "Database":
         r"""Compile GenBank+TOML into the flat SoA layout (ref :289-507)."""
-        file = cls._check_file(file)
         from kaptive_tpu.db.genbank import iter_records
 
-        _LOCUS_REGEX = re_compile(r"locus:\s?(.*)$")
-        _SEROTYPE_REGEX = re_compile(r"type:\s?(.*)$")
-        _EXTRA_REGEX = re_compile(r"Extra genes:\s?(.*)$")
-
-        global_gene_idx = 0
-        locus_records: list[SeqRecord] = []
-        serotype_names: list[str] = []
-        locus_gene_offsets: list[int] = []
-        locus_gene_lengths: list[int] = []
-        locus_intervals: list[Intervals] = []
-        gene_ids: list[str] = []
-        extra_genes: list[bool] = []
-        gene_cluster_ids: list[int] = []
-        gene_description_ids: list[int] = []
-        gene_expected_positions: list[int] = []
-        cluster_vocab: dict[str, int] = {}
-        description_vocab: dict[str, int] = {}
-
-        with file.open("rb") as fh:
-            for rec in iter_records(fh):
-                locus_name, serotype, extra = None, None, False
-                if not rec.features:
-                    raise DatabaseError(f"Locus has no features: {rec.name}")
-                notes = [q.value for q in rec.features[0].qualifiers if q.key == "note"]
-                if not notes:
-                    raise DatabaseError(f'Locus has no "note" qualifiers: {rec.name}')
-                for note in notes:
-                    if match := _EXTRA_REGEX.search(note):
-                        extra = True
-                        locus_name = match.group(1)
-                        break
-                    if not locus_name and (match := _LOCUS_REGEX.search(note)):
-                        locus_name = match.group(1)
-                    if not serotype and (match := _SEROTYPE_REGEX.search(note)):
-                        serotype = match.group(1)
-                if not locus_name:
-                    raise DatabaseError(f'Locus has no valid "locus" qualifiers: {rec.name}')
-
-                locus_record = SeqRecord(locus_name, rec.sequence.upper())
-                starts: list[int] = []
-                ends: list[int] = []
-                strands: list[int] = []
-                local_gene_idx = 0
-                locus_start_idx = global_gene_idx
-
-                for feat in rec.features[1:]:
-                    if feat.kind != "CDS":
-                        continue
-                    cluster, description = "", ""
-                    for q in feat.qualifiers:
-                        if not cluster and q.key == "gene":
-                            cluster = q.value
-                        if not description and q.key == "product":
-                            description = q.value
-
-                    gene_id = (
-                        f"{locus_name}_{local_gene_idx + 1:02}_{cluster}" if not extra else cluster
-                    )
-                    if cluster not in cluster_vocab:
-                        cluster_vocab[cluster] = len(cluster_vocab)
-                    if description not in description_vocab:
-                        description_vocab[description] = len(description_vocab)
-
-                    loc = feat.location
-                    start, end = sorted((loc.start, loc.end))
-                    strand_val = -1 if loc.strand in (-1, "-") else 1
-
-                    starts.append(start)
-                    ends.append(end)
-                    strands.append(strand_val)
-                    gene_ids.append(gene_id)
-                    gene_cluster_ids.append(cluster_vocab[cluster])
-                    gene_description_ids.append(description_vocab[description])
-                    gene_expected_positions.append(0 if extra else local_gene_idx + 1)
-                    local_gene_idx += 1
-                    global_gene_idx += 1
-
-                if local_gene_idx == 0:
-                    continue
-
-                locus_gene_offsets.append(locus_start_idx)
-                locus_gene_lengths.append(local_gene_idx)
-                locus_intervals.append(
-                    Intervals(
-                        np.array(starts, dtype=np.int32),
-                        np.array(ends, dtype=np.int32),
-                        np.array(strands, dtype=np.int8),
-                    )
-                )
-                locus_records.append(locus_record)
-                serotype_names.append(serotype or "")
-                extra_genes.extend([extra] * local_gene_idx)
-
-        gene_locus_indices = np.zeros(global_gene_idx, dtype=np.uint16)
-        for i, (o, length) in enumerate(zip(locus_gene_offsets, locus_gene_lengths)):
-            gene_locus_indices[o : o + length] = i
-
-        db_gene_ids = tuple(gene_ids)
-        loci = Sequences.from_records(locus_records)
-        cluster_keys = tuple(cluster_vocab.keys())
-        phenotype_objs: list[Phenotype] = []
-        if (metadata_file := file.with_suffix(".toml")).is_file():
-            with metadata_file.open("rb") as fp:
-                metadata = DatabaseMetadata.from_dict(tomllib.load(fp))
-                for key, v in metadata.phenotype_logic.items():
-                    phenotype_objs.append(cls._parse_phenotype(key, v, loci.ids, cluster_keys))
-        else:
+        path = cls._check_file(file)
+        toml_path = path.with_suffix(".toml")
+        if not toml_path.is_file():
             raise DatabaseError("Missing required TOML metadata file alongside Genbank file.")
 
-        n_pheno, n_loci, n_clusters = len(phenotype_objs), len(loci), len(cluster_keys)
-        pheno_ids: list[str] = []
-        locus_vocab = {name: i for i, name in enumerate(loci.ids)}
-        locus_masks = np.zeros((n_pheno, n_loci), dtype=bool)
-        extra_masks = np.zeros((n_pheno, n_clusters), dtype=np.int8)
-        inactive_masks = np.zeros((n_pheno, n_clusters), dtype=np.int8)
-        priorities = np.zeros(n_pheno, dtype=np.int8)
-        as_suffix = np.zeros(n_pheno, dtype=bool)
-        for i, p in enumerate(phenotype_objs):
-            pheno_ids.append(p.id)
-            for loc_name in p.loci:
-                locus_masks[i, locus_vocab[loc_name]] = True
-            for ext in p.extra_genes:
-                extra_masks[i, cluster_vocab[ext]] = 1
-            for ina in p.inactive_genes:
-                inactive_masks[i, cluster_vocab[ina]] = 1
-            priorities[i] = p.priority
-            as_suffix[i] = p.as_suffix
+        # Phase 1: parse records into drafts (loci with zero CDS are dropped).
+        clusters, descriptions = _Vocab(), _Vocab()
+        with path.open("rb") as fh:
+            drafts = [
+                d
+                for d in (_draft_locus(rec, clusters, descriptions) for rec in iter_records(fh))
+                if d.cds
+            ]
 
-        global_intervals = Intervals.concat(locus_intervals) if locus_intervals else Intervals.empty()
-        genes = loci.extract_intervals(gene_locus_indices, global_intervals, new_ids=db_gene_ids)
-        translations = genes.translate()
+        # Phase 2: flatten drafts into the SoA arrays.
+        counts = np.array([len(d.cds) for d in drafts], dtype=np.uint32)
+        all_cds = [row for d in drafts for row in d.cds]
+        loci = Sequences.from_records(
+            [SeqRecord(d.name, d.sequence) for d in drafts]
+        )
+        spans = Intervals(
+            np.array([r.start for r in all_cds], dtype=np.int32),
+            np.array([r.end for r in all_cds], dtype=np.int32),
+            np.array([r.strand for r in all_cds], dtype=np.int8),
+        )
+        gene_locus_indices = np.repeat(
+            np.arange(len(drafts), dtype=np.uint16), counts
+        )
+        genes = loci.extract_intervals(
+            gene_locus_indices, spans, new_ids=tuple(r.gene_id for r in all_cds)
+        )
+
+        with toml_path.open("rb") as fp:
+            metadata = DatabaseMetadata.from_dict(tomllib.load(fp))
 
         return cls(
             metadata=metadata,
             loci=loci,
-            serotypes=tuple(serotype_names),
-            locus_gene_offsets=np.array(locus_gene_offsets, dtype=np.uint32),
-            locus_gene_lengths=np.array(locus_gene_lengths, dtype=np.uint32),
-            gene_intervals=global_intervals,
+            serotypes=tuple(d.serotype for d in drafts),
+            locus_gene_offsets=cumulative_offsets(counts).astype(np.uint32),
+            locus_gene_lengths=counts,
+            gene_intervals=spans,
             genes=genes,
-            translations=translations,
-            extra_genes=np.array(extra_genes, dtype=bool),
+            translations=genes.translate(),
+            extra_genes=np.repeat([d.is_extra for d in drafts], counts),
             gene_locus_indices=gene_locus_indices,
-            cluster_keys=cluster_keys,
-            gene_cluster_ids=np.array(gene_cluster_ids, dtype=np.uint16),
-            description_keys=tuple(description_vocab.keys()),
-            gene_description_ids=np.array(gene_description_ids, dtype=np.uint16),
-            gene_positions=np.array(gene_expected_positions, dtype=np.uint16),
-            phenotypes=Phenotypes(
-                ids=np.array([p.encode("utf-8") for p in pheno_ids], dtype="S32"),
-                locus_masks=locus_masks,
-                extra_masks=extra_masks,
-                inactive_masks=inactive_masks,
-                extra_counts=extra_masks.sum(axis=1, dtype=np.int8),
-                priorities=priorities,
-                as_suffix=as_suffix,
+            cluster_keys=clusters.keys(),
+            gene_cluster_ids=np.array([r.cluster_id for r in all_cds], dtype=np.uint16),
+            description_keys=descriptions.keys(),
+            gene_description_ids=np.array(
+                [r.description_id for r in all_cds], dtype=np.uint16
             ),
+            gene_positions=np.array([r.position for r in all_cds], dtype=np.uint16),
+            phenotypes=_compile_phenotypes(metadata, loci.ids, clusters),
             loci_sketches=FracMinHashIndex.build(loci, sort_by_hash=False),
         )
