@@ -56,26 +56,25 @@ class DatabaseMetadata:
     r"""Validated TOML metadata for a reference database (identity, organism,
     repo provenance, and the phenotype/antigenic rule tables)."""
 
-    # database identity
-    keyword: str
+    # NB: field order is part of the pickle-cache compatibility contract —
+    # slotted frozen dataclasses restore positionally, so reordering breaks
+    # previously cached databases.
     name: str
-    version: str
+    keyword: str
     genbank: str
-    # organism / antigen biology
-    taxon: int
     organism: str
+    taxon: int
     antigen: str
     pathway: str
+    version: str
     id_threshold: float
-    # provenance (GitHub-hosted decentralised DBs)
-    repo: str
+    doi: list[str]
     owner: str
+    repo: str
     branch: str
     contact: dict
-    doi: list[str]
-    # rule tables
-    antigenic_units: dict
     phenotype_logic: dict
+    antigenic_units: dict
 
     @property
     def parsed_version(self) -> tuple[int, ...]:

@@ -52,6 +52,36 @@ def _seg_min(values, keys, size, empty):
     return out
 
 
+def _segmented_prefix_max(values: np.ndarray, segments: np.ndarray) -> np.ndarray:
+    r"""Prefix maximum within contiguous equal-``segments`` runs (log-doubling)."""
+    out = values.copy()
+    shift = 1
+    while shift < len(out):
+        carry = segments[shift:] == segments[:-shift]
+        out[shift:] = np.where(carry, np.maximum(out[shift:], out[:-shift]), out[shift:])
+        shift *= 2
+    return out
+
+
+def _overlaps_any_box(
+    group: np.ndarray, start: np.ndarray, end: np.ndarray,
+    box_group: np.ndarray, box_lo: np.ndarray, box_hi: np.ndarray,
+) -> npt.NDArray[np.bool_]:
+    r"""Per query [start, end], whether any same-group box overlaps it
+    (closed-interval overlap: ``start <= box_hi and end >= box_lo``)."""
+    if len(box_group) == 0 or len(group) == 0:
+        return np.zeros(len(group), dtype=bool)
+    order = np.lexsort((box_lo, box_group))
+    bg, bl = box_group[order], box_lo[order].astype(np.int64)
+    reach = _segmented_prefix_max(box_hi[order].astype(np.int64), bg)
+    # Composite (group, lo) key: positions fit far below the group stride.
+    stride = np.int64(max(int(bl.max(initial=0)), int(end.max(initial=0))) + 2)
+    j = np.searchsorted(bg * stride + bl, group.astype(np.int64) * stride + end, side="right") - 1
+    j_ok = j >= 0
+    j_safe = np.maximum(j, 0)
+    return j_ok & (bg[j_safe] == group) & (reach[j_safe] >= start)
+
+
 def _seg_max(values, keys, size, empty):
     out = np.full(size, empty, dtype=np.int64)
     np.maximum.at(out, keys, values)
@@ -299,11 +329,15 @@ def reconstruct_loci(db, hits: HitTable, pick: LocusPick, n_asm: int) -> Reconst
     piece_lo, piece_hi = piece_lo[piece_order], piece_hi[piece_order]
     piece_orient = piece_orient[piece_order]
 
-    # --- inside test: overlap any same-(asm, ctg) piece box.
-    is_inside = np.zeros(n, dtype=bool)
+    # --- inside test: overlap any same-(asm, ctg) piece box.  Sorted-sweep
+    # over (group, lo)-ordered pieces with a segmented prefix-max of hi: a hit
+    # [s, e] overlaps some box of its group iff, among that group's boxes with
+    # lo <= e, the largest hi is >= s.  O((P + N) log) instead of the P x N
+    # per-piece pass, so batch-512 streams scale linearly.
     piece_group = piece_asm * n_ctg_max + piece_ctg
-    for g, lo, hi in zip(piece_group, piece_lo, piece_hi):
-        is_inside |= (asm_ctg == g) & (hits.t_start <= hi) & (hits.t_end >= lo)
+    is_inside = _overlaps_any_box(
+        asm_ctg, hits.t_start, hits.t_end, piece_group, piece_lo, piece_hi
+    )
 
     # --- missing expected genes per assembly.
     expected_mask = (
@@ -374,13 +408,13 @@ def resolve_phenotypes(
     locus_ok = phen.locus_masks[:, best_locus]  # (R, n_asm)
     extras_ok = (active8 @ phen.extra_masks.T).T == phen.extra_counts[:, None]  # (R, n_asm)
 
-    # Expected-cluster mask per assembly from the winning locus' gene roster.
+    # Expected-cluster mask per assembly: one (locus x cluster) roster matrix
+    # scatter-built from the DB, then a row gather by winning locus — no
+    # per-assembly loop, so the phase scales with the batch linearly.
     n_clusters = active_clusters.shape[1]
-    expected = np.zeros((n_asm, n_clusters), dtype=np.int8)
-    for a in range(n_asm):
-        lo = db.locus_gene_offsets[best_locus[a]]
-        span = db.locus_gene_lengths[best_locus[a]]
-        expected[a, db.gene_cluster_ids[lo : lo + span]] = 1
+    roster = np.zeros((len(db.loci), n_clusters), dtype=np.int8)
+    roster[db.gene_locus_indices, db.gene_cluster_ids] = 1
+    expected = roster[best_locus]  # (n_asm, C)
 
     names_inactive = phen.inactive_masks.sum(axis=1) > 0  # (R,)
     # applicable[r, a, c] = rule r names cluster c inactive AND c expected in a's locus
@@ -391,18 +425,26 @@ def resolve_phenotypes(
     inactive_ok = ~names_inactive[:, None] | (has_applicable & (inactive_hit > 0))
 
     fires = locus_ok & extras_ok & inactive_ok  # (R, n_asm)
-    for a in range(n_asm):
-        rules = np.flatnonzero(fires[:, a])
-        if not len(rules):
-            continue
-        suffix_flag = phen.as_suffix[rules]
-        overrides = rules[~suffix_flag]
-        if len(overrides):
-            out[a] = phen.ids[overrides[np.argmax(phen.priorities[overrides])]].decode("utf-8")
-        suffixes = rules[suffix_flag]
-        if len(suffixes):
-            by_priority = suffixes[np.argsort(-phen.priorities[suffixes])]
-            out[a] += "".join(phen.ids[i].decode("utf-8") for i in by_priority)
+
+    # Replacement rules: one masked argmax-by-priority per assembly (first
+    # rule wins priority ties, matching the reference's ascending-rule-id
+    # argmax).  Priorities are int8 >= 0; -1 marks non-firing rules.
+    NONE = np.int16(np.iinfo(np.int16).min)  # below any real (int8) priority
+    override_prio = np.where(
+        fires & ~phen.as_suffix[:, None], phen.priorities[:, None].astype(np.int16), NONE
+    )
+    winner = np.argmax(override_prio, axis=0)  # (n_asm,)
+    has_override = override_prio[winner, np.arange(n_asm)] > NONE
+    for a in np.flatnonzero(has_override):
+        out[a] = phen.ids[winner[a]].decode("utf-8")
+
+    # Suffix rules append in descending priority; firing suffixes are rare,
+    # so only assemblies that have one enter the string-building loop.
+    suffix_fires = fires & phen.as_suffix[:, None]
+    for a in np.flatnonzero(suffix_fires.any(axis=0)):
+        suffixes = np.flatnonzero(suffix_fires[:, a])
+        by_priority = suffixes[np.argsort(-phen.priorities[suffixes])]
+        out[a] += "".join(phen.ids[i].decode("utf-8") for i in by_priority)
     return out
 
 
