@@ -232,6 +232,28 @@ def main() -> None:
     correct = min(c for _, c in passes)
     value = len(assemblies) / elapsed
 
+    # Ingest headroom: pure host-side parse+encode+pack throughput (no H2D),
+    # measured on the same pool width the stream uses.  This is the number
+    # that says whether ingest can feed a faster device: it must exceed the
+    # device throughput with margin (VERDICT r4 weak #4 asked for 2x).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kaptive_tpu.ops.minimizer import ContigIndex
+
+    def _cpu_ingest(fasta: bytes) -> None:
+        ga = GenomeAssembly.from_stream(io.BytesIO(fasta), "ingest_probe")
+        ContigIndex.build(ga.contigs)
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(_cpu_ingest, [f for _, _, _, f in assemblies]))
+        ingest_rate = len(assemblies) / (time.perf_counter() - t0)
+    print(
+        f"# ingest_cpu_capacity: {ingest_rate:.1f} asm/s on a 16-thread pool "
+        f"({ingest_rate / max(value, 1e-9):.1f}x the end-to-end device throughput)",
+        file=sys.stderr, flush=True,
+    )
+
     # Row-level verification on one assembly per composition class (not timed).
     sample = [i for i in range(min(len(KINDS), len(assemblies)))]
     rows_ok, rows_n = verify_rows(db, serotyper, assemblies, sample)

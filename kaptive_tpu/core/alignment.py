@@ -284,6 +284,7 @@ class Alignments(SoAContainer):
         block_lengths: npt.NDArray[np.integer] | None = None,
         cigars: Cigars | None = None,
         is_primary: npt.NDArray[np.bool_] | None = None,
+        divergence: npt.NDArray[np.floating] | None = None,
     ) -> Alignments:
         r"""Zero-copy ingest from the TPU mapper's flat output arrays.
 
@@ -318,7 +319,9 @@ class Alignments(SoAContainer):
             is_primary=np.ones(n, dtype=bool) if is_primary is None else np.asarray(is_primary, dtype=bool),
             is_supplementary=np.zeros(n, dtype=bool),
             is_spliced=np.zeros(n, dtype=bool),
-            divergence=np.zeros(n, dtype=np.float64),
+            divergence=np.zeros(n, dtype=np.float64)
+            if divergence is None
+            else np.asarray(divergence, dtype=np.float64),
             cs=np.full(n, None, dtype=object),
             md=np.full(n, None, dtype=object),
         )

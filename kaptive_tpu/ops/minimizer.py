@@ -53,15 +53,16 @@ def encode_dna(seqs: np.ndarray) -> np.ndarray:
 def bucket_length(n: int, minimum: int = 1 << 16) -> int:
     r"""Quantised allocation length: bounds jit recompilation variants.
 
-    Power-of-two below 1 MiB; 1 MiB steps above (every device stage's cost is
-    linear in the padded length, and pow2 buckets padded a 5.3 Mb genome 58%
-    — 1 MiB steps cap the waste at <20% while adding at most ~8 compiled
-    size classes per order of magnitude).  1 MiB is a multiple of the Pallas
-    scan tile (131072 positions), so every LARGE bucket stays
-    kernel-eligible; small pow2 buckets below one tile use the XLA scan
+    Power-of-two below 1 MiB; 512 KiB steps above (every device stage's cost
+    is linear in the padded length, and pow2 buckets padded a 5.3 Mb genome
+    58% — 512 KiB steps cap the waste at <10% while adding ~16 compiled size
+    classes per order of magnitude, all persisted by the XLA compilation
+    cache and warmed in parallel).  512 KiB is a multiple of the Pallas scan
+    tile (131072 positions), so every LARGE bucket stays kernel-eligible;
+    small pow2 buckets below one tile use the XLA scan
     (``supports_pallas_scan`` gates on tile divisibility).
     """
-    step = 1 << 20
+    step = 1 << 19
     if n > step:
         return -(-n // step) * step
     size = minimum

@@ -64,25 +64,55 @@ class SwgLattice:
     counted under ``swg.offlattice``.
     """
 
-    rows: int  # single rows_max (% 64 == 0 for the Pallas kernel)
+    rows: int  # largest rows_max tier (% 64 == 0 for the Pallas kernel)
     widths: tuple[int, ...]  # ascending band widths (% 128 == 0)
     batch: int = 128  # pairs per dispatch (% 8 == 0)
+    # Optional refinements (all precompiled by warmup via :meth:`shapes`):
+    # ascending row tiers ending in ``rows`` — pairs pick the smallest
+    # adequate tier so typical pairs do not pay the worst-case lattice area;
+    # ``tail_batch`` adds one smaller dispatch size for the final remainder
+    # chunk of a launch group (0 = remainders pad to the full batch).
+    row_tiers: tuple[int, ...] = ()
+    tail_batch: int = 0
 
     @classmethod
-    def for_max_len(cls, max_len: int, *, len_slack: int = 0, widths: tuple[int, ...] | None = None, batch: int = 128) -> "SwgLattice":
+    def for_max_len(cls, max_len: int, *, len_slack: int = 0, widths: tuple[int, ...] | None = None, batch: int = 128, row_tiers: tuple[int, ...] = (), tail_batch: int = 0) -> "SwgLattice":
         r"""Build a lattice covering pairs up to ``max_len + len_slack``.
 
-        The default width set is (128, W) where W covers the worst unseeded
-        band ``2*(max_len+1)+3`` (one truncated side vs a full-length other).
+        The default width set is (128, W/2, W) where W covers the worst
+        unseeded band ``2*(max_len+1)+3`` (one truncated side vs a
+        full-length other) and the middle tier spares moderately
+        length-mismatched pairs the worst-case band.
         """
         rows = _round_up(max(int(max_len) + int(len_slack), 64), 64)
         if widths is None:
             wide = _round_up(2 * int(max_len) + 5, 128)
-            widths = (128,) if wide <= 128 else (128, wide)
-        return cls(rows, tuple(int(w) for w in widths), int(batch))
+            mid = _round_up(wide // 2, 128)
+            widths = (128,) + tuple(
+                w for w in (mid, wide) if w > 128
+            )
+        return cls(rows, tuple(int(w) for w in widths), int(batch),
+                   tuple(int(r) for r in row_tiers), int(tail_batch))
+
+    @property
+    def tiers(self) -> tuple[int, ...]:
+        return self.row_tiers if self.row_tiers else (self.rows,)
+
+    def batches_for(self, width: int) -> tuple[int, ...]:
+        r"""Dispatch sizes for a width: the tail shape exists only above the
+        narrowest band — padding there is cheap, and every compiled shape
+        costs warmup time."""
+        if self.tail_batch and width > self.widths[0]:
+            return (self.batch, self.tail_batch)
+        return (self.batch,)
 
     def shapes(self) -> list[tuple[int, int, int]]:
-        return [(self.rows, w, self.batch) for w in self.widths]
+        return [
+            (r, w, b)
+            for r in self.tiers
+            for w in self.widths
+            for b in self.batches_for(w)
+        ]
 
     def width_for(self, w_needed: int) -> int | None:
         for w in self.widths:
@@ -118,9 +148,11 @@ def plan_swg_buckets(
     on_lattice = np.zeros(n, dtype=bool)
     if lattice is not None:
         widths = np.asarray(lattice.widths, dtype=np.int64)
+        tiers = np.asarray(lattice.tiers, dtype=np.int64)
         wi = np.searchsorted(widths, np.asarray(w_needed, dtype=np.int64))
-        on_lattice = (np.asarray(joint) <= lattice.rows) & (wi < len(widths))
-        rows_of[on_lattice] = lattice.rows
+        ri = np.searchsorted(tiers, np.asarray(joint, dtype=np.int64))
+        on_lattice = (ri < len(tiers)) & (wi < len(widths))
+        rows_of[on_lattice] = tiers[ri[on_lattice]]
         w_of[on_lattice] = widths[wi[on_lattice]]
     off = ~on_lattice
     if off.any():
@@ -141,8 +173,19 @@ def plan_swg_buckets(
             # lattice batch (non-power-of-two meshes) still gets an evenly
             # shardable pair axis.
             b_fix = -(-lattice.batch // min_batch) * min_batch
+            t_fix = -(-lattice.tail_batch // min_batch) * min_batch if lattice.tail_batch else 0
             for start in range(0, len(sel), b_fix):
-                groups.append((sel[start : start + b_fix], rows_max, w_pad, b_fix))
+                part = sel[start : start + b_fix]
+                # The final remainder rides the smaller precompiled tail
+                # shape when it fits — padding 60 live pairs to 384 at the
+                # widest band was ~6x wasted lattice area.  (Tail shapes
+                # exist only above the narrowest width; see batches_for.)
+                b_here = (
+                    t_fix
+                    if (t_fix and len(part) <= t_fix and w_pad > lattice.widths[0])
+                    else b_fix
+                )
+                groups.append((part, rows_max, w_pad, b_here))
         else:
             b = len(sel)
             b_pad = min_batch

@@ -24,7 +24,11 @@ def _load_and_index(
 ) -> GenomeAssembly:
     from kaptive_tpu.utils.profiling import phase_timer
 
-    with phase_timer("ingest.parse_pack"):  # thread-wall time (sums across workers)
+    # Two sub-phases (thread-wall time, sums across workers): ``parse_pack``
+    # is the pure host CPU work — the number that decides whether ingest can
+    # feed a faster device; ``h2d_wait`` is the blocked transfer, which on
+    # the shared tunnel can dwarf the CPU work but vanishes on real hosts.
+    with phase_timer("ingest.parse_pack"):
         ga = GenomeAssembly.ensure(path)
         ga.get_minimizer_index()  # encode + pack on the ingest thread
         from kaptive_tpu.ops.mapper import (
@@ -39,13 +43,14 @@ def _load_and_index(
             # here so it doesn't serialise into the mapping phase.
             _packed_inputs(ga.minimizer_index)
             return ga
-        import jax
-
-        # Pre-upload the packed stream AND block on the copy here, so the
-        # H2D genuinely lands while the device works on the current batch
-        # (an unforced transfer can be deferred to the consumer's sync point,
-        # serialising ~MBs per genome into the mapping phase).
         sparse = _device_inputs_sparse(ga.minimizer_index)
+    import jax
+
+    # Pre-upload the packed stream AND block on the copy here, so the
+    # H2D genuinely lands while the device works on the current batch
+    # (an unforced transfer can be deferred to the consumer's sync point,
+    # serialising ~MBs per genome into the mapping phase).
+    with phase_timer("ingest.h2d_wait"):
         if sparse is None:
             jax.block_until_ready(_device_inputs(ga.minimizer_index))
         else:

@@ -48,6 +48,26 @@ from kaptive_tpu.ops.minimizer import DEFAULT_K, DEFAULT_W
 shard_map = jax.shard_map
 
 
+def shard_cuts(sorted_hashes: np.ndarray, model: int) -> list[int]:
+    r"""Even hash-range cut points for ``model`` table shards, aligned to
+    hash-run boundaries.
+
+    A run longer than ``max_occ`` straddling a cut would be capped per shard
+    and merge to up to 2x the single-device occurrence cap, breaking
+    bit-identity with the single-device matcher — so interior cuts advance to
+    the next run start.  Also the basis for the work-balance analysis in
+    ``tests/test_multichip_balance.py``.
+    """
+    n = len(sorted_hashes)
+    cuts = [round(i * n / model) for i in range(model + 1)]
+    for i in range(1, model):
+        c = cuts[i]
+        while 0 < c < n and sorted_hashes[c] == sorted_hashes[c - 1]:
+            c += 1
+        cuts[i] = max(min(c, n), cuts[i - 1])
+    return cuts
+
+
 @dataclass(frozen=True)
 class ShardedGeneTable:
     r"""Hash-range shards of the gene minimizer table, stacked for ``P('model')``.
@@ -73,16 +93,7 @@ class ShardedGeneTable:
         ms = gene_index.minimizers
         h = ms.hashes  # sorted
         n = len(h)
-        cuts = [round(i * n / model) for i in range(model + 1)]
-        # Align interior cuts to hash-run boundaries: a run longer than
-        # max_occ straddling a cut would be capped per shard and merge to up
-        # to 2x the single-device occurrence cap, breaking bit-identity with
-        # the single-device matcher.
-        for i in range(1, model):
-            c = cuts[i]
-            while 0 < c < n and h[c] == h[c - 1]:
-                c += 1
-            cuts[i] = max(min(c, n), cuts[i - 1])
+        cuts = shard_cuts(h, model)
         t_shard = max(max(cuts[i + 1] - cuts[i] for i in range(model)), 1)
         n_buckets = 1 << (32 - BUCKET_SHIFT)
         n_words = 1 << (BLOOM_BITS - 5)

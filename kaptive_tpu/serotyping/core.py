@@ -106,13 +106,21 @@ class Serotyper:
         unit = math.lcm(-(-16 // n_dev) * n_dev, 8)
         dp_batch = 384 if default_device_is_tpu() else 128
         dp_batch = -(-dp_batch // unit) * unit
+        tail = math.lcm(unit, 8) * max(1, 96 // math.lcm(unit, 8))
         max_prot = int(db.translations.lengths.max()) if len(db.translations) else 64
         self._protein_lattice = SwgLattice.for_max_len(
-            max_prot, len_slack=max(16, max_prot // 4), batch=dp_batch
+            max_prot, len_slack=max(16, max_prot // 4), batch=dp_batch,
+            tail_batch=tail if tail < dp_batch else 0,
         )
         max_gene = int(db.genes.lengths.max()) if len(db.genes) else 256
+        # Row tiers: well-seeded chains project windows of ~gene length plus
+        # window padding (the common case); only drift-stretched chains need
+        # the full worst-case rows, so they get their own (rarely hit) tier.
+        ext_rows_typ = -(-(max_gene + 192) // 64) * 64
+        ext_rows_max = -(-(max_gene + 768) // 64) * 64
         self._ext_lattice = SwgLattice.for_max_len(
-            max_gene, len_slack=768, widths=(128, 512), batch=dp_batch
+            max_gene, len_slack=768, widths=(128, 512), batch=dp_batch,
+            row_tiers=tuple(sorted({ext_rows_typ, ext_rows_max})),
         )
         mp = mapper_params or MapperParams()
         if mp.lattice is None:
@@ -427,7 +435,7 @@ class Serotyper:
             (self._protein_lattice, prot_matrix, aligner.gap_open, aligner.gap_extend),
             (self._ext_lattice, _NT_MATRIX, NT_GAP_OPEN, NT_GAP_EXTEND),
         ]
-        pending = []
+        jobs = []
         for lattice, matrix, go, ge in plans:
             for rows, w, b in lattice.shapes():
                 t_pad = w + 2
@@ -442,14 +450,26 @@ class Serotyper:
                 statics = dict(
                     gap_open=go, gap_extend=ge, rows_max=rows, w_pad=w, t_pad=t_pad
                 )
-                pending.append(banded_swg(*args, matrix, **statics).scores)
-                if self.mapper_params.emit_cigars and matrix is _NT_MATRIX:
-                    res, *_ = banded_swg_lax_cigars(
-                        *(jnp.asarray(a) for a in args), jnp.asarray(matrix), **statics
-                    )
-                    pending.append(res.scores)
-        for scores in pending:  # block so compile errors surface here
-            np.asarray(scores)
+                jobs.append((args, matrix, statics, matrix is _NT_MATRIX))
+
+        def _compile_one(job):
+            args, matrix, statics, is_nt = job
+            out = [banded_swg(*args, matrix, **statics).scores]
+            if self.mapper_params.emit_cigars and is_nt:
+                res, *_ = banded_swg_lax_cigars(
+                    *(jnp.asarray(a) for a in args), jnp.asarray(matrix), **statics
+                )
+                out.append(res.scores)
+            return out
+
+        # Compilation dominates warmup (tens of seconds per shape on a
+        # tunneled chip) and XLA compiles release the GIL — overlap them.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(jobs) or 1)) as pool:
+            for outs in pool.map(_compile_one, jobs):
+                for scores in outs:  # block so compile errors surface here
+                    np.asarray(scores)
 
     def _assemble_result(
         self, genome, a, pick, recon, hits, rows, pieces,

@@ -58,7 +58,7 @@ def main() -> None:
         GenomeAssembly.from_stream(io.BytesIO(fasta), name)
         for name, _, _, fasta in assemblies[:n]
     ]
-    indexes = [ContigIndex.build(ga.contigs, build_minimizers=False) for ga in gas]
+    indexes = [ContigIndex.build(ga.contigs) for ga in gas]
     sparse_rows = [M._device_inputs_sparse(ci) for ci in indexes]
     assert all(s is not None for s in sparse_rows)
 
