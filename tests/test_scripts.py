@@ -53,3 +53,30 @@ def test_fetch_announcement_noop_without_token(monkeypatch, tmp_path):
     monkeypatch.setattr(sys, "argv", ["fetch_announcement", "--out", str(tmp_path / "a.html")])
     assert mod.main() == 0
     assert not (tmp_path / "a.html").exists()
+
+
+def test_api_docs_generator_emits_tree(tmp_path, monkeypatch):
+    mod = _load("generate_api_docs")
+    monkeypatch.setattr(mod, "OUT", tmp_path / "api.md")
+    mod.main()
+    text = (tmp_path / "api.md").read_text()
+    # every package of the inventory appears with members documented
+    for anchor in (
+        "`kaptive_tpu.serotyping.core`", "`kaptive_tpu.ops.mapper`",
+        "`kaptive_tpu.db.manager`", "`kaptive_tpu.parallel.typing`",
+        "**`Serotyper`**", "**`DatabaseManager`**",
+    ):
+        assert anchor in text, anchor
+
+
+def test_cli_docs_generator_emits_pages(tmp_path, monkeypatch):
+    mod = _load("generate_cli_docs")
+    monkeypatch.setattr(mod, "DOCS", tmp_path)
+    mod.main()
+    pages = {p.name for p in tmp_path.glob("*.md")}
+    assert pages == {"type.md", "convert.md", "database.md"}
+    dbpage = (tmp_path / "database.md").read_text()
+    # the full subcommand tree renders, one section per command
+    for sub in ("db list", "db install", "db update", "db add", "db extract loci",
+                "db extract genes", "db extract proteins", "db metadata", "db reset"):
+        assert f"kaptive-tpu database {sub.split(' ', 1)[1]}" in dbpage or sub in dbpage, sub
