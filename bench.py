@@ -169,7 +169,10 @@ def main() -> None:
     db, assemblies = build_fixtures()
     serotyper = Serotyper(db)
 
-    batch_size = int(os.environ.get("KAPTIVE_TPU_BENCH_BATCH", "16"))
+    # 32/batch measured faster than 16 end-to-end (2.43s vs 2.75s best pass):
+    # fewer batch boundaries and better DP-bucket fill; scan still runs in
+    # fixed 8-genome chunks so compiled shapes are unchanged.
+    batch_size = int(os.environ.get("KAPTIVE_TPU_BENCH_BATCH", "32"))
 
     # Warm-up: compiles the device kernels (minimizer scan, SWG lattice
     # shapes, decision jits) — Serotyper.warmup() covers every shape the
