@@ -41,15 +41,11 @@ class Strand(IntEnum):
     def _missing_(cls, value: object) -> Strand:
         if isinstance(value, bytes):
             value = value.decode("ascii")
-        if isinstance(value, str):
-            if value in ("+", "1", "+1"):
-                return Strand.FORWARD
-            if value in ("-", "-1"):
-                return Strand.REVERSE
-        return Strand.UNSTRANDED
+        aliases = {"+": 1, "1": 1, "+1": 1, "-": -1, "-1": -1}
+        return cls(aliases[value]) if value in aliases else Strand.UNSTRANDED
 
     def __str__(self) -> str:
-        return {Strand.FORWARD: "+", Strand.REVERSE: "-"}.get(self, ".")
+        return {1: "+", -1: "-"}.get(int(self), ".")
 
 
 @dataclass(frozen=True, slots=True)
@@ -67,30 +63,30 @@ class Interval:
         if isinstance(item, int):
             return self.start <= item < self.end
         other = Interval.from_item(item)
-        return self.start <= other.start and other.end <= self.end
+        return (self.start <= other.start) and (other.end <= self.end)
 
     def __add__(self, other: IntervalLike) -> Interval:
-        other_obj = Interval.from_item(other)
-        new_strand = self.strand if self.strand == other_obj.strand else Strand.UNSTRANDED
-        return Interval(min(self.start, other_obj.start), max(self.end, other_obj.end), new_strand)
+        r"""Union span; strand survives only when both agree."""
+        that = Interval.from_item(other)
+        merged_strand = self.strand if self.strand == that.strand else Strand.UNSTRANDED
+        lo = self.start if self.start < that.start else that.start
+        hi = self.end if self.end > that.end else that.end
+        return Interval(lo, hi, merged_strand)
 
-    def __radd__(self, other: IntervalLike) -> Interval:
-        return self.__add__(other)
+    __radd__ = __add__
 
     def shift(self, x: int, y: int | None = None) -> Interval:
-        return Interval(self.start + x, self.end + (y if y is not None else x), self.strand)
+        return Interval(self.start + x, self.end + (x if y is None else y), self.strand)
 
     def expand(self, left: int, right: int, clip_length: int | None = None) -> Interval:
-        new_start = max(0, self.start - left)
-        new_end = self.end + right
-        if clip_length is not None:
-            new_end = min(new_end, clip_length)
-        return Interval(new_start, new_end, self.strand)
+        hi = self.end + right
+        if clip_length is not None and hi > clip_length:
+            hi = clip_length
+        return Interval(max(0, self.start - left), hi, self.strand)
 
     def reverse_complement(self, length: int | None = None) -> Interval:
-        if length is None:
-            length = self.end
-        return Interval(length - self.end, length - self.start, Strand(self.strand * -1))
+        pivot = self.end if length is None else length
+        return Interval(pivot - self.end, pivot - self.start, Strand(-int(self.strand)))
 
     @classmethod
     def from_match(cls, item: Match, strand: Strand = Strand.UNSTRANDED) -> Interval:
@@ -173,56 +169,50 @@ class Intervals(SoAContainer):
 
     @classmethod
     def from_intervals(cls, intervals: Iterable[Interval]) -> Intervals:
-        data = [(i.start, i.end, i.strand) for i in intervals]
-        if not data:
+        rows = np.array(
+            [(i.start, i.end, int(i.strand)) for i in intervals], dtype=np.int64
+        ).reshape(-1, 3)
+        if not len(rows):
             return cls.empty()
-        start_vals, end_vals, strand_vals = zip(*data, strict=False)
         return cls(
-            np.array(start_vals, dtype=np.int32),
-            np.array(end_vals, dtype=np.int32),
-            np.array(strand_vals, dtype=np.int8),
+            rows[:, 0].astype(np.int32), rows[:, 1].astype(np.int32), rows[:, 2].astype(np.int8)
         )
 
+    _DICT_COLUMNS = ("starts", "ends", "strands")
+
     def to_dict(self) -> dict[str, list]:
-        return {"starts": self.starts.tolist(), "ends": self.ends.tolist(), "strands": self.strands.tolist()}
+        return {col: getattr(self, col).tolist() for col in self._DICT_COLUMNS}
 
     @classmethod
     def from_dict(cls, d: dict) -> Intervals:
-        return cls(
-            np.array(d["starts"], dtype=np.int32),
-            np.array(d["ends"], dtype=np.int32),
-            np.array(d["strands"], dtype=np.int8),
-        )
+        cols = [np.asarray(d[col]) for col in cls._DICT_COLUMNS]
+        return cls(cols[0].astype(np.int32), cols[1].astype(np.int32), cols[2].astype(np.int8))
+
+    def _at(self, row: int) -> Interval:
+        return Interval(self.starts[row], self.ends[row], self.strands[row])
 
     def __getitem__(self, item: Any) -> Interval | Intervals:
         if isinstance(item, (int, np.integer)):
-            if item < 0:
-                item += len(self)
-            if item < 0 or item >= len(self):
+            row = int(item) + (len(self) if item < 0 else 0)
+            if not 0 <= row < len(self):
                 raise IndexError("Batch index out of range")
-            return Interval(self.starts[item], self.ends[item], self.strands[item])
+            return self._at(row)
         # Explicit base call: slots=True dataclasses break zero-arg super().
         return SoAContainer.__getitem__(self, item)
 
     def shift(self, x: int | npt.NDArray[np.int32], y: int | npt.NDArray[np.int32] | None = None) -> Intervals:
         if len(self) == 0:
             return self
-        new_starts = self.starts + x
-        new_ends = self.ends + (y if y is not None else x)
         return Intervals(
-            np.asarray(new_starts, dtype=np.int32),
-            np.asarray(new_ends, dtype=np.int32),
+            np.asarray(self.starts + x, dtype=np.int32),
+            np.asarray(self.ends + (x if y is None else y), dtype=np.int32),
             self.strands,
             self.original_indices,
         )
 
-    def cull_overlaps(
-        self,
-        order: npt.NDArray[np.int32],
-        max_overlap_fraction: float = 0.1,
-        group_by: npt.NDArray[np.integer] | None = None,
-        secondary_group_by: npt.NDArray[np.integer] | None = None,
-    ) -> npt.NDArray[np.bool_]:
+    def cull_overlaps(self, order: npt.NDArray[np.int32], max_overlap_fraction: float = 0.1,
+                      group_by: npt.NDArray[np.integer] | None = None,
+                      secondary_group_by: npt.NDArray[np.integer] | None = None) -> npt.NDArray[np.bool_]:
         r"""Greedy overlap culling with the reference's exact order semantics.
 
         Mirrors ``_cull_overlaps_kernel`` (``interval.py:698-751``): items are
@@ -270,9 +260,8 @@ class Intervals(SoAContainer):
             nk += 1
         return kept_mask
 
-    def cluster_spatial(
-        self, tolerance: int = 0, group_by: npt.NDArray[np.integer] | None = None
-    ) -> npt.NDArray[np.int32]:
+    def cluster_spatial(self, tolerance: int = 0,
+                        group_by: npt.NDArray[np.integer] | None = None) -> npt.NDArray[np.int32]:
         r"""1-D single-linkage spatial clustering, vectorised.
 
         Equivalent to the reference's sequential sweep (``interval.py:595-639``):
@@ -301,12 +290,9 @@ class Intervals(SoAContainer):
         cluster_ids[order] = ids_sorted
         return cluster_ids
 
-    def cluster_sequential(
-        self,
-        tolerance: int = 0,
-        group_by: npt.NDArray[np.integer] | None = None,
-        enforce_strand: bool = False,
-    ) -> npt.NDArray[np.int32]:
+    def cluster_sequential(self, tolerance: int = 0,
+                           group_by: npt.NDArray[np.integer] | None = None,
+                           enforce_strand: bool = False) -> npt.NDArray[np.int32]:
         r"""Index-based sequential clustering, vectorised (ref ``interval.py:495-527``)."""
         n = len(self)
         if n == 0:
@@ -336,25 +322,20 @@ class Intervals(SoAContainer):
         cluster_ids[order] = ids_sorted
         return cluster_ids
 
-    def arrange(
-        self,
-        indices: npt.NDArray[np.integer],
-        order: npt.NDArray[np.integer],
-        starts: npt.NDArray[np.int32],
-        ends: npt.NDArray[np.int32],
-        strands: npt.NDArray[np.int8],
-        gap: int = 500,
-    ) -> Intervals:
+    def arrange(self, indices: npt.NDArray[np.integer], order: npt.NDArray[np.integer],
+                starts: npt.NDArray[np.int32], ends: npt.NDArray[np.int32],
+                strands: npt.NDArray[np.int8], gap: int = 500) -> Intervals:
         r"""Lay out intervals across disjoint contig pieces into one 1-D plot space (ref ``interval.py:529-591``)."""
         if len(self) == 0:
             return self
         n_pieces = len(starts)
-        piece_plot_starts = np.zeros(n_pieces, dtype=np.int32)
-        current_x = 0
-        for i in order:
-            p_len = ends[i] - starts[i]
-            piece_plot_starts[i] = current_x
-            current_x += p_len + gap
+        # Plot x-offset per piece: exclusive prefix sum of (length + gap) in
+        # layout order, scattered back to piece ids (no sequential walk).
+        ordered_span = (ends - starts).astype(np.int64)[order] + gap
+        piece_plot_starts = np.zeros(n_pieces, dtype=np.int64)
+        piece_plot_starts[np.asarray(order)] = np.concatenate(
+            ([0], np.cumsum(ordered_span[:-1]))
+        )
 
         idx = np.asarray(indices, dtype=np.int64)
         valid = (idx >= 0) & (idx < n_pieces)

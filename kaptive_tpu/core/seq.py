@@ -4,7 +4,8 @@ Capability parity with ``/root/reference/src/kaptive/core/seq.py``:
 ``SeqRecord`` (:29-87), ``Sequences`` (:90-408) with ``extract`` (:327),
 ``extract_intervals`` (:357), ``translate`` (:381), ``unique`` (:226),
 ``internal_stops`` (:215), ``to_fasta`` (:148), dict round-trip (:118-146), and
-``BacterialTranslationTable`` (:411-538, identical LUT construction :486-503).
+``BacterialTranslationTable`` (:411-538; the LUT contents are NCBI table 11,
+built here by vectorised scatter).
 
 Design: the reference's per-element Numba ragged kernels
 (``_extract_ragged_kernel`` :612, ``_translate_ragged_kernel`` :671,
@@ -27,6 +28,13 @@ import numpy.typing as npt
 from kaptive_tpu.core.collections import cumulative_offsets, ragged_gather_indices
 from kaptive_tpu.core.interval import Interval, IntervalLike, Intervals, Strand
 
+_COMP_TABLE = bytes.maketrans(b"ACGTUacgtu", b"TGCAAtgcaa")
+
+
+def revcomp_bytes(seq: bytes) -> bytes:
+    r"""Reverse complement of raw sequence bytes (U treated as T)."""
+    return bytes(seq.translate(_COMP_TABLE)[::-1])
+
 
 @dataclass(frozen=True, slots=True)
 class SeqRecord:
@@ -41,16 +49,14 @@ class SeqRecord:
     def to_fasta(self) -> bytes:
         return b">%b\n%b\n" % (self.id.encode(), self.seq)
 
-    def extract(self, start: int | IntervalLike, end: int | None = None, strand: Strand = Strand.UNSTRANDED) -> bytes:
+    def extract(self, start: int | IntervalLike, end: int | None = None,
+                strand: Strand = Strand.UNSTRANDED) -> bytes:
+        r"""Sub-sequence by coordinates or by an interval-like object."""
         if end is None:
-            interval = Interval.from_item(start, strand=strand)
-            start_val, end_val, strand_val = interval.start, interval.end, interval.strand
-        else:
-            start_val, end_val, strand_val = int(start), int(end), strand  # type: ignore[assignment]
-        new_seq = self.seq[start_val:end_val]
-        if strand_val < 0:
-            return bytes(new_seq.translate(BacterialTranslationTable._COMP)[::-1])
-        return bytes(new_seq)
+            span = Interval.from_item(start, strand=strand)
+            start, end, strand = span.start, span.end, span.strand  # type: ignore[assignment]
+        clipped = self.seq[int(start) : int(end)]  # type: ignore[arg-type]
+        return revcomp_bytes(clipped) if strand < 0 else bytes(clipped)
 
 
 @dataclass(frozen=True, slots=True)
@@ -62,53 +68,109 @@ class Sequences:
     offsets: npt.NDArray[np.int32]
     lengths: npt.NDArray[np.int32]
 
+    # -- container protocol ------------------------------------------------
+
     def __len__(self) -> int:
         return len(self.ids)
 
+    def _window(self, row: int) -> slice:
+        lo = int(self.offsets[row])
+        return slice(lo, lo + int(self.lengths[row]))
+
+    def _record_at(self, row: int) -> SeqRecord:
+        return SeqRecord(self.ids[row], self.seqs[self._window(row)].tobytes())
+
+    def __getitem__(self, item: int | slice | npt.NDArray[Any] | list[int]) -> SeqRecord | Sequences:
+        if isinstance(item, (int, np.integer)):
+            row = int(item) + (len(self) if item < 0 else 0)
+            if not 0 <= row < len(self):
+                raise IndexError("Batch index out of range")
+            return self._record_at(row)
+        rows = (
+            np.arange(len(self))[item]
+            if isinstance(item, slice)
+            else np.asarray(item)
+        )
+        if rows.dtype == bool:
+            rows = np.flatnonzero(rows)
+        rows = rows.astype(np.int32)
+        n = len(rows)
+        return self.extract(
+            rows,
+            np.zeros(n, dtype=np.int32),
+            self.lengths[rows].astype(np.int32),
+            np.ones(n, dtype=np.int8),
+            new_ids=tuple(self.ids[r] for r in rows),
+        )
+
+    def __iter__(self) -> Generator[SeqRecord, None, None]:
+        return (self._record_at(row) for row in range(len(self)))
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def empty(cls) -> Sequences:
+        i32 = np.empty(0, dtype=np.int32)
+        return cls((), np.empty(0, dtype=np.uint8), i32, i32.copy())
+
+    @classmethod
+    def from_records(cls, records: list[SeqRecord]) -> Sequences:
+        if not records:
+            return cls.empty()
+        lengths = np.fromiter((len(r.seq) for r in records), np.int32, len(records))
+        flat = np.frombuffer(b"".join(r.seq for r in records), dtype=np.uint8)
+        return cls(tuple(r.id for r in records), flat, cumulative_offsets(lengths), lengths)
+
+    @classmethod
+    def from_bytes(cls, seqs: list[bytes], ids: tuple[str, ...] | None = None) -> Sequences:
+        named = ids or tuple(str(i) for i in range(len(seqs)))
+        return cls.from_records([SeqRecord(i, s) for i, s in zip(named, seqs)])
+
+    @classmethod
+    def concat(cls, batches: Iterable[Self]) -> Sequences:
+        parts = list(batches)
+        if not parts:
+            return cls.empty()
+        lengths = np.concatenate([p.lengths for p in parts])
+        return cls(
+            sum((p.ids for p in parts), ()),
+            np.concatenate([p.seqs for p in parts]),
+            cumulative_offsets(lengths),
+            lengths,
+        )
+
+    # -- serialisation -----------------------------------------------------
+
     def to_dict(self) -> dict[str, Any]:
-        return {
-            "ids": self.ids,
-            "seqs": self.seqs.tobytes().decode("ascii"),
-            "offsets": self.offsets,
-            "lengths": self.lengths,
-        }
+        return dict(
+            ids=self.ids,
+            seqs=self.seqs.tobytes().decode("ascii"),
+            offsets=self.offsets,
+            lengths=self.lengths,
+        )
 
     @classmethod
     def from_dict(cls, data: dict[str, Any]) -> Sequences:
-        return cls(
-            ids=tuple(data["ids"]),
-            seqs=np.frombuffer(data["seqs"].encode("ascii"), dtype=np.uint8),
-            offsets=np.array(data["offsets"], dtype=np.int32),
-            lengths=np.array(data["lengths"], dtype=np.int32),
-        )
+        flat = np.frombuffer(data["seqs"].encode("ascii"), dtype=np.uint8)
+        to_i32 = lambda key: np.array(data[key], dtype=np.int32)  # noqa: E731
+        return cls(tuple(data["ids"]), flat, to_i32("offsets"), to_i32("lengths"))
 
     def to_fasta(self, use_indices: bool = False) -> bytes:
         if not self.ids and not use_indices:
             return b""
-        seq_bytes = self.seqs.tobytes()
+        raw = self.seqs.tobytes()
+        windows = zip(self.offsets.tolist(), self.lengths.tolist())
         if use_indices:
             return b"".join(
-                b">%d\n%b\n" % (i, seq_bytes[o : o + length_val])
-                for i, (o, length_val) in enumerate(zip(self.offsets.tolist(), self.lengths.tolist()))
+                b">%d\n%b\n" % (row, raw[lo : lo + ln])
+                for row, (lo, ln) in enumerate(windows)
             )
         return b"".join(
-            b">%b\n%b\n" % (i.encode(), seq_bytes[o : o + length_val])
-            for i, o, length_val in zip(self.ids, self.offsets.tolist(), self.lengths.tolist())
+            b">%b\n%b\n" % (name.encode(), raw[lo : lo + ln])
+            for name, (lo, ln) in zip(self.ids, windows)
         )
 
-    @classmethod
-    def empty(cls) -> Sequences:
-        return cls((), np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int32), np.empty(0, dtype=np.int32))
-
-    @classmethod
-    def concat(cls, batches: Iterable[Self]) -> Sequences:
-        batches_list = list(batches)
-        if not batches_list:
-            return cls.empty()
-        all_ids = sum((b.ids for b in batches_list), ())
-        all_seqs = np.concatenate([b.seqs for b in batches_list])
-        all_lengths = np.concatenate([b.lengths for b in batches_list])
-        return cls(all_ids, all_seqs, cumulative_offsets(all_lengths), all_lengths)
+    # -- batched sequence ops ---------------------------------------------
 
     @property
     def internal_stops(self) -> npt.NDArray[np.bool_]:
@@ -132,64 +194,13 @@ class Sequences:
         if len(self) <= 1:
             return self
         hashes = _hash_sequences(self.seqs, self.offsets, self.lengths)
-        _, unique_indices = np.unique(hashes, return_index=True)
-        unique_indices.sort()
-        return self[unique_indices]  # type: ignore[return-value]
+        _, keep = np.unique(hashes, return_index=True)
+        keep.sort()
+        return self[keep]  # type: ignore[return-value]
 
-    def __getitem__(self, item: int | slice | npt.NDArray[Any] | list[int]) -> SeqRecord | Sequences:
-        if isinstance(item, (int, np.integer)):
-            item_idx = int(item)
-            if item_idx < 0:
-                item_idx += len(self)
-            if item_idx < 0 or item_idx >= len(self):
-                raise IndexError("Batch index out of range")
-            offset_val = self.offsets[item_idx]
-            length_val = self.lengths[item_idx]
-            return SeqRecord(self.ids[item_idx], self.seqs[offset_val : offset_val + length_val].tobytes())
-
-        if isinstance(item, slice):
-            indices = np.arange(len(self))[item]
-        else:
-            indices = np.asarray(item)
-            if indices.dtype == bool:
-                indices = np.nonzero(indices)[0]
-
-        starts = np.zeros(len(indices), dtype=np.int32)
-        ends = self.lengths[indices].astype(np.int32)
-        strands = np.ones(len(indices), dtype=np.int8)
-        return self.extract(
-            indices.astype(np.int32), starts, ends, strands, new_ids=tuple(self.ids[i] for i in indices)
-        )
-
-    def __iter__(self) -> Generator[SeqRecord, None, None]:
-        for i in range(len(self)):
-            offset_val = self.offsets[i]
-            length_val = self.lengths[i]
-            yield SeqRecord(self.ids[i], self.seqs[offset_val : offset_val + length_val].tobytes())
-
-    @classmethod
-    def from_bytes(cls, seqs: list[bytes], ids: tuple[str, ...] | None = None) -> Sequences:
-        ids = ids or tuple(str(i) for i in range(len(seqs)))
-        return cls.from_records([SeqRecord(i, s) for i, s in zip(ids, seqs)])
-
-    @classmethod
-    def from_records(cls, records: list[SeqRecord]) -> Sequences:
-        ids = tuple(r.id for r in records)
-        seqs = [np.frombuffer(r.seq, dtype=np.uint8) for r in records]
-        if not seqs:
-            return cls.empty()
-        out_seqs = np.concatenate(seqs, dtype=np.uint8)
-        lengths = np.array([len(s) for s in seqs], dtype=np.int32)
-        return cls(ids, out_seqs, cumulative_offsets(lengths), lengths)
-
-    def extract(
-        self,
-        indices: npt.NDArray[np.int32],
-        starts: npt.NDArray[np.int32],
-        ends: npt.NDArray[np.int32],
-        strands: npt.NDArray[np.int8],
-        new_ids: tuple[str, ...] | None = None,
-    ) -> Sequences:
+    def extract(self, indices: npt.NDArray[np.int32], starts: npt.NDArray[np.int32],
+                ends: npt.NDArray[np.int32], strands: npt.NDArray[np.int8],
+                new_ids: tuple[str, ...] | None = None) -> Sequences:
         r"""Vectorised batched sub-sequence extraction with reverse-complementation.
 
         Equivalent to ``_extract_ragged_kernel`` (ref ``seq.py:612-668``), realised
@@ -213,12 +224,9 @@ class Sequences:
             out_seqs = np.where(rev_mask, BacterialTranslationTable._COMP_MAP[out_seqs], out_seqs).astype(np.uint8)
         return Sequences(new_ids, out_seqs, out_offsets, out_lengths)
 
-    def extract_intervals(
-        self,
-        indices: npt.NDArray[np.integer],
-        intervals: Intervals,
-        new_ids: tuple[str, ...] | None = None,
-    ) -> Sequences:
+    def extract_intervals(self, indices: npt.NDArray[np.integer], intervals: Intervals,
+                          new_ids: tuple[str, ...] | None = None) -> Sequences:
+        r"""Extraction keyed by an :class:`Intervals` batch instead of flat arrays."""
         return self.extract(
             indices.astype(np.int32),
             intervals.starts.astype(np.int32),
@@ -268,46 +276,43 @@ class Sequences:
         return Sequences(self.ids, out_data, out_offsets, out_lengths)
 
 
-class BacterialTranslationTable:
-    r"""NCBI Translation Table 11 LUTs (identical construction to ref ``seq.py:411-538``)."""
+def _codon_table_11() -> dict[bytes, bytes]:
+    r"""NCBI translation table 11 as codon -> amino-acid bytes (fixed data)."""
+    codons = [
+        bytes((a, b, c))
+        for a in b"TCAG"
+        for b in b"TCAG"
+        for c in b"TCAG"
+    ]
+    amino = b"FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+    return {codon: amino[i : i + 1] for i, codon in enumerate(codons)}
 
-    _MAPPING = {
-        b"TTT": b"F", b"TTC": b"F", b"TTA": b"L", b"TTG": b"L",
-        b"TCT": b"S", b"TCC": b"S", b"TCA": b"S", b"TCG": b"S",
-        b"TAT": b"Y", b"TAC": b"Y", b"TAA": b"*", b"TAG": b"*",
-        b"TGT": b"C", b"TGC": b"C", b"TGA": b"*", b"TGG": b"W",
-        b"CTT": b"L", b"CTC": b"L", b"CTA": b"L", b"CTG": b"L",
-        b"CCT": b"P", b"CCC": b"P", b"CCA": b"P", b"CCG": b"P",
-        b"CAT": b"H", b"CAC": b"H", b"CAA": b"Q", b"CAG": b"Q",
-        b"CGT": b"R", b"CGC": b"R", b"CGA": b"R", b"CGG": b"R",
-        b"ATT": b"I", b"ATC": b"I", b"ATA": b"I", b"ATG": b"M",
-        b"ACT": b"T", b"ACC": b"T", b"ACA": b"T", b"ACG": b"T",
-        b"AAT": b"N", b"AAC": b"N", b"AAA": b"K", b"AAG": b"K",
-        b"AGT": b"S", b"AGC": b"S", b"AGA": b"R", b"AGG": b"R",
-        b"GTT": b"V", b"GTC": b"V", b"GTA": b"V", b"GTG": b"V",
-        b"GCT": b"A", b"GCC": b"A", b"GCA": b"A", b"GCG": b"A",
-        b"GAT": b"D", b"GAC": b"D", b"GAA": b"E", b"GAG": b"E",
-        b"GGT": b"G", b"GGC": b"G", b"GGA": b"G", b"GGG": b"G",
-    }
+
+class BacterialTranslationTable:
+    r"""NCBI Translation Table 11 LUTs (same logical tables as ref ``seq.py:411-538``,
+    built by vectorised scatter instead of per-entry loops)."""
+
+    _MAPPING = _codon_table_11()
     _START_CODONS = {b"TTG", b"CTG", b"ATT", b"ATC", b"ATA", b"ATG", b"GTG"}
     _STOP_CODONS = {b"TAA", b"TAG", b"TGA"}
-    _COMP = bytes.maketrans(b"ACGTUacgtu", b"TGCAAtgcaa")
+    _COMP = _COMP_TABLE
+
+    # base -> code 0..3 (4 = invalid); U/u read as T
     _CHAR_MAP = np.full(256, 4, dtype=np.uint8)
-    for _i, _c in enumerate(b"ACGT"):
-        _CHAR_MAP[_c] = _i
-        _CHAR_MAP[_c + 32] = _i
-    _CHAR_MAP[b"U"[0]] = 3
-    _CHAR_MAP[b"u"[0]] = 3
+    _CHAR_MAP[np.frombuffer(b"ACGTUacgtu", np.uint8)] = np.tile([0, 1, 2, 3, 3], 2)
     _CHAR_MAP.flags.writeable = False
-    _CODON_MAP = np.full(125, 88, dtype=np.uint8)  # 88 = ord('X')
-    for _codon, _aa in _MAPPING.items():
-        _idx = _CHAR_MAP[_codon[0]] * 25 + _CHAR_MAP[_codon[1]] * 5 + _CHAR_MAP[_codon[2]]
-        _CODON_MAP[_idx] = _aa[0]
+
+    # codon code (c1*25 + c2*5 + c3) -> amino-acid byte; invalid codons -> 'X'
+    _CODON_MAP = np.full(125, ord("X"), dtype=np.uint8)
+    _codons = np.frombuffer(b"".join(_MAPPING), np.uint8).reshape(-1, 3)
+    _CODON_MAP[
+        (_CHAR_MAP[_codons] @ np.array([25, 5, 1])).astype(np.int64)
+    ] = np.frombuffer(b"".join(_MAPPING.values()), np.uint8)
+    del _codons
     _CODON_MAP.flags.writeable = False
-    _COMP_MAP = np.arange(256, dtype=np.uint8)
-    for _c, _comp in zip(b"ACGTUacgtu", b"TGCAAtgcaa"):
-        _COMP_MAP[_c] = _comp
-    _COMP_MAP.flags.writeable = False
+
+    # byte -> complement byte (identity outside ACGTU)
+    _COMP_MAP = np.frombuffer(bytes(range(256)).translate(_COMP_TABLE), np.uint8)
 
     @classmethod
     def translate(
@@ -318,25 +323,18 @@ class BacterialTranslationTable:
             return np.array([], dtype=np.uint8)
         if not isinstance(seq, np.ndarray):
             seq = np.ascontiguousarray(np.frombuffer(seq, np.uint8))
-        n_codons = len(seq) // 3
-        codons = seq[: n_codons * 3].reshape(n_codons, 3)
-        idx = (
-            cls._CHAR_MAP[codons[:, 0]].astype(np.int32) * 25
-            + cls._CHAR_MAP[codons[:, 1]].astype(np.int32) * 5
-            + cls._CHAR_MAP[codons[:, 2]].astype(np.int32)
-        )
+        codons = seq[: len(seq) // 3 * 3].reshape(-1, 3)
+        idx = cls._CHAR_MAP[codons].astype(np.int32) @ np.array([25, 5, 1], dtype=np.int32)
         aa = cls._CODON_MAP[idx]
         if to_stop:
-            stops = np.nonzero(aa == 42)[0]
+            stops = np.flatnonzero(aa == 42)
             if len(stops):
                 aa = aa[: stops[0]]
         return aa
 
     @classmethod
     def is_coding(cls, seq: bytes) -> bool:
-        if len(seq) < 3:
-            return False
-        return seq[:3] in cls._START_CODONS and seq[-3:] in cls._STOP_CODONS
+        return len(seq) >= 3 and seq[:3] in cls._START_CODONS and seq[-3:] in cls._STOP_CODONS
 
 
 def _hash_sequences(

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+from pathlib import Path
 from typing import Any
 
 import numpy as np
@@ -77,6 +78,12 @@ class ResultExporter:
         if json_file := getattr(args, "json", None):
             json_handle = _open_append_aware(cli, json_file, None)
             self.writers.append(lambda r: json_handle.write(result_to_jsonl_bytes(r)))
+
+        # Directory sinks are created up front (first-run ergonomics; the
+        # reference requires them to pre-exist).
+        for sink_attr in ("loci", "genes", "proteins", "plots"):
+            if sink_dir := getattr(args, sink_attr, None):
+                Path(sink_dir).mkdir(parents=True, exist_ok=True)
 
         if loci_dir := getattr(args, "loci", None):
             self.writers.append(

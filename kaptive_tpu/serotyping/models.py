@@ -50,17 +50,24 @@ class SerotypingProblem(IntFlag):
         return self.SYMBOLS[self.value]
 
 
-_serotyping_flags = (
-    (SerotypingProblem.FRAGMENTED.value, b"?"),
-    (SerotypingProblem.UNEXPECTED_GENES.value, b"+"),
-    (SerotypingProblem.MISSING_GENES.value, b"-"),
-    (SerotypingProblem.NOVEL_GENES.value, b"*"),
-    (SerotypingProblem.TRUNCATED_GENES.value, b"!"),
-)
-SerotypingProblem.SYMBOLS = tuple(
-    b"".join(sym for flag, sym in _serotyping_flags if i & flag)
-    for i in range(1 << max(SerotypingProblem).value.bit_length())
-)
+def _problem_symbol_table() -> tuple[bytes, ...]:
+    r"""Precompute every flag combination's glyph string (report contract:
+    the ``? + - * !`` glyphs and their order, ref ``models.py:82-92``)."""
+    glyph_of = {
+        SerotypingProblem.FRAGMENTED: b"?",
+        SerotypingProblem.UNEXPECTED_GENES: b"+",
+        SerotypingProblem.MISSING_GENES: b"-",
+        SerotypingProblem.NOVEL_GENES: b"*",
+        SerotypingProblem.TRUNCATED_GENES: b"!",
+    }
+    combos = 2 * SerotypingProblem.TRUNCATED_GENES.value  # highest single flag
+    return tuple(
+        b"".join(glyph for flag, glyph in glyph_of.items() if combo & flag)
+        for combo in range(combos)
+    )
+
+
+SerotypingProblem.SYMBOLS = _problem_symbol_table()
 
 
 @dataclass(slots=True, frozen=True)
@@ -89,10 +96,17 @@ class GeneHits(SoAContainer):
     product_descriptions: npt.NDArray[np.bytes_] = soa(kind="bytes", optional=True)
     coverages: npt.NDArray[np.float32] = soa(np.float32, optional=True)
 
+    def _span_view(self, side: str) -> Intervals:
+        lo, hi = getattr(self, f"{side}_starts"), getattr(self, f"{side}_ends")
+        return Intervals(lo, hi, self.strands)
+
     @property
-    def frames(self) -> npt.NDArray[np.int32]:
-        r"""Reading-frame offsets: ``(-q_starts) % 3`` (ref :252-259)."""
-        return (-self.q_starts) % 3
+    def q_intervals(self) -> Intervals:
+        return self._span_view("q")
+
+    @property
+    def t_intervals(self) -> Intervals:
+        return self._span_view("t")
 
     @property
     def query_lengths(self) -> npt.NDArray[np.int32]:
@@ -103,12 +117,9 @@ class GeneHits(SoAContainer):
         return self.t_ends - self.t_starts
 
     @property
-    def q_intervals(self) -> Intervals:
-        return Intervals(self.q_starts, self.q_ends, self.strands)
-
-    @property
-    def t_intervals(self) -> Intervals:
-        return Intervals(self.t_starts, self.t_ends, self.strands)
+    def frames(self) -> npt.NDArray[np.int32]:
+        r"""Reading-frame offsets: ``(-q_starts) % 3`` (ref :252-259)."""
+        return (-self.q_starts) % 3
 
 
 @dataclass(slots=True, frozen=True)
@@ -207,19 +218,17 @@ class SerotypingResult:
     def to_locus_data(self) -> "LocusData":
         from kaptive_tpu.compare import LocusData
 
-        mask = self.gene_hits.is_inside & ~self.gene_hits.is_extra
-        descriptions = np.asarray(
-            np.char.decode(self.gene_hits.product_descriptions[mask], "utf-8"),
-            dtype=object,
-        )
+        hits = self.gene_hits
+        core = hits.is_inside & ~hits.is_extra
+        labels = np.char.decode(hits.product_descriptions[core], "utf-8")
         return LocusData(
-            proteins=self.translations[mask],  # type: ignore[arg-type]
+            proteins=self.translations[core],  # type: ignore[arg-type]
             name=self.genome,
-            backbone=self.gene_hits.t_intervals[mask],  # type: ignore[arg-type]
+            backbone=hits.t_intervals[core],  # type: ignore[arg-type]
             pieces=self.locus_pieces,
-            gene_ctg_indices=self.gene_hits.t_indices[mask],
-            gene_states=self.gene_states[mask],
-            gene_descriptions=descriptions,
+            gene_ctg_indices=hits.t_indices[core],
+            gene_states=self.gene_states[core],
+            gene_descriptions=np.asarray(labels, dtype=object),
         )
 
     def to_dict(self) -> dict[str, Any]:
