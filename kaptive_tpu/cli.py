@@ -3,10 +3,13 @@ r"""Command-line framework and root runner.
 Capability parity with ``/root/reference/src/kaptive/cli.py``: colorized help
 with ``NO_COLOR`` support, help-on-error parsing with did-you-mean hints, a
 ``Cli`` host (handle tracking, exit-code mapping, verbose/progress output on
-stderr), a declarative ``Command`` tree deriving its metadata from class
-attributes, and ``main()``.  Structured differently from the reference: the
-styling layer is a module function, exit-code mapping and the shared output
-flag block are data tables, and parser post-processing lives in free helpers.
+stderr), a declarative command tree, and ``main()``.  The framework idiom is
+this repo's own: a command's subtree is a class-attribute ``children`` roster
+(instantiated, not registered imperatively), flags are declared by
+``arguments(parser)`` / ``lineage_arguments(parser)`` hooks that receive the
+parser they populate, and the action hook is ``run(ns)`` — a class that leaves
+it untouched is a pure command group.  Styling is a module function, exit-code
+mapping and the shared output flag block are data tables.
 """
 
 from __future__ import annotations
@@ -15,11 +18,10 @@ import argparse
 import os
 import re
 import sys
-from abc import ABC
-from collections.abc import Iterable
+from collections.abc import Iterable, Iterator
 from difflib import get_close_matches
 from pathlib import Path
-from typing import IO, Any, Self
+from typing import IO, Any
 
 from kaptive_tpu import __version__
 
@@ -109,23 +111,27 @@ _EXIT_TABLE: tuple[tuple[type[BaseException], str, int], ...] = (
     (FileNotFoundError, "📄 File not found: {exc}", 1),
 )
 
+_STD_STREAMS = {"stdin": lambda: sys.stdin, "stdout": lambda: sys.stdout}
+
 
 class Cli:
     r"""Root CLI host: global flags, subcommand registry, handles, progress."""
 
-    def __init__(self, description: str | None = None, epilog: str | None = None) -> None:
-        self.verbose = False
+    def __init__(self, description: str = "", epilog: str = "") -> None:
+        # KAPTIVE_VERBOSE pre-arms verbosity (useful under wrappers); -V wins.
+        self.verbose = bool(os.environ.get("KAPTIVE_VERBOSE"))
         self._open_handles: list[IO] = []
         self.global_parser = HelpOnErrorParser(add_help=False)
         self.global_parser.add_argument(
             "-V", "--verbose", action="store_true", help="Enable verbose output/progress"
         )
-        self.parser = HelpOnErrorParser(
+        root_spec = dict(
             description=paint(description, BOLD) if description else None,
             epilog=paint(epilog, BOLD) if epilog else None,
             parents=[self.global_parser],
             formatter_class=CliHelpFormatter,
         )
+        self.parser = HelpOnErrorParser(**root_spec)
         self.parser.add_argument(
             "-v", "--version", action="version", version=f"%(prog)s {__version__}",
             help="Show program's version number and exit")
@@ -136,36 +142,39 @@ class Cli:
 
     # -- command registry & dispatch --------------------------------------
 
-    def add_command(self, command: "Command") -> None:
+    def mount(self, command: "Command") -> "Command":
+        r"""Attach a top-level command (and its subtree) to this host."""
         command.cli = self
-        command.build(self.subparsers, parent_parsers=[self.global_parser])
+        command.attach(self.subparsers, lineage=(self.global_parser,))
+        return command
 
-    def run(self, args: list[str] | None = None) -> None:
-        ns = self.parser.parse_args(args)
-        self.verbose = getattr(ns, "verbose", False)
-        action = getattr(ns, "func", None)
-        if action is None:
+    def dispatch(self, argv: list[str] | None = None) -> None:
+        r"""Parse ``argv`` and invoke the selected command's ``run`` hook."""
+        ns = self.parser.parse_args(argv)
+        self.verbose |= bool(getattr(ns, "verbose", False))
+        invoke = getattr(ns, "invoke", None)
+        if invoke is None:
             self.parser.print_help()
             return
         from kaptive_tpu.client import KaptiveWebClientError
         from kaptive_tpu.db import DatabaseError
 
         try:
-            action(ns)
+            invoke(ns)
         except (DatabaseError, KaptiveWebClientError) as exc:
-            self.exit(str(exc))
+            self.fail(str(exc))
 
-    def exit(self, msg: str, code: int = 1) -> None:
-        print(f"❌ {msg}", file=sys.stderr)
+    def fail(self, why: str, code: int = 1) -> None:
+        print(f"❌ {why}", file=sys.stderr)
         sys.exit(code)
 
     # -- lifecycle / exit-code mapping ------------------------------------
 
-    def __enter__(self) -> Self:
+    def __enter__(self) -> "Cli":
         return self
 
     def __exit__(self, exc_type, exc_val, exc_tb) -> None:
-        self.cleanup()
+        self.close_files()
         if exc_type is BrokenPipeError:
             # Redirect stdout into /dev/null so interpreter teardown doesn't
             # raise again while flushing.
@@ -177,46 +186,41 @@ class Cli:
                 sys.exit(code)
 
     def __del__(self) -> None:
-        self.cleanup()
+        self.close_files()
 
-    def cleanup(self) -> None:
-        std_streams = (sys.stdin, sys.stdout, sys.stderr)
-        for handle in self._open_handles:
-            if handle not in std_streams:
+    def close_files(self) -> None:
+        r"""Close every tracked output handle (standard streams excluded)."""
+        keep = (sys.stdin, sys.stdout, sys.stderr)
+        while self._open_handles:
+            if (handle := self._open_handles.pop()) not in keep:
                 handle.close()
-        self._open_handles.clear()
 
     # -- stderr UX ---------------------------------------------------------
 
-    def msg(self, msg: str | None, **kwargs: Any) -> None:
+    def msg(self, text: str | None, **kwargs: Any) -> None:
         if self.verbose:
-            print(msg, file=sys.stderr, **kwargs)
+            print(text, file=sys.stderr, **kwargs)
 
-    def progress(self, iterable: Iterable, msg: str) -> Iterable:
+    def progress(self, iterable: Iterable, msg: str) -> Iterator:
         r"""Yield items while rendering a ``\r i/total`` counter in verbose mode."""
-        sized = getattr(iterable, "__len__", None)
-        total: int | str = sized() if sized else "?"
+        total = len(iterable) if hasattr(iterable, "__len__") else "?"  # type: ignore[arg-type]
         done = 0
-        for item in iterable:
-            done += 1
-            if self.verbose:
-                print(f"\r{msg} {done}/{total}", end="", file=sys.stderr, flush=True)
+        for done, item in enumerate(iterable, start=1):
+            self.msg(f"\r{msg} {done}/{total}", end="", flush=True)
             yield item
-        if self.verbose:
-            print(file=sys.stderr)
+        if done:
+            self.msg("")
 
     def open_file(self, file: str, mode: str = "rb") -> IO:
         r"""Open a path, or pass through the standard streams: ``-`` means
         stdin when reading and stdout when writing; ``stdin``/``stdout`` name
         them explicitly.  Real files are tracked for cleanup."""
-        reading = "r" in mode
-        special = {"stdin": sys.stdin, "stdout": sys.stdout}
         if file == "-":
-            file = "stdin" if reading else "stdout"
-        if (stream := special.get(file)) is not None:
+            file = "stdin" if "r" in mode else "stdout"
+        if pick := _STD_STREAMS.get(file):
+            stream = pick()
             return stream.buffer if "b" in mode else stream
-        handle = open(file, mode)
-        self._open_handles.append(handle)
+        self._open_handles.append(handle := open(file, mode))
         return handle
 
 
@@ -238,94 +242,101 @@ _OUTPUT_FLAG_ROWS: tuple[tuple[tuple[str, ...], str, Any, Any, str], ...] = (
 )
 
 
-class Command(ABC):
+def add_output_arguments(opts: argparse._ArgumentGroup,
+                         tsv_flags: tuple[str, str] = ("-o", "--out"),
+                         include_json: bool = True) -> None:
+    r"""Attach the shared result-writer flag block (ref ``cli.py:424-504``)."""
+    optional_tsv = tsv_flags[0] == "-t"
+    opts.add_argument(
+        *tsv_flags,
+        metavar="FILE",
+        nargs="?" if optional_tsv else None,
+        default=None if optional_tsv else "stdout",
+        const="stdout" if optional_tsv else None,
+        help="Write serotyping results as a TSV report to a file (default: %(" +
+             ("const" if optional_tsv else "default") + ")s)",
+    )
+    for flags, metavar, const, astype, helptext in _OUTPUT_FLAG_ROWS:
+        if flags[0] == "-j" and not include_json:
+            continue
+        extra = {"type": astype} if astype is not None else {}
+        opts.add_argument(
+            *flags, metavar=metavar, nargs="?", const=const, help=helptext, **extra
+        )
+
+
+class Command:
     r"""Declarative CLI subcommand.
 
     ``name``/``description``/``help_text`` default from the class name and
-    docstring; subclasses override ``setup_arguments`` to declare flags,
-    ``register_subcommands`` to attach children, ``get_shared_parser`` to
-    inject a parser every child inherits, and ``__call__`` to act.  A class
-    that leaves ``__call__`` untouched is a pure command group.
+    docstring; ``children`` (a roster of Command classes) declares the
+    subtree.  Subclasses override ``arguments(parser)`` to declare their own
+    flags, ``lineage_arguments(parser)`` to declare flags every child
+    inherits, and ``run(ns)`` to act — left untouched, the command is a pure
+    group that only routes to its children.
     """
 
     name = description = help_text = ""
-    aliases: list[str] = []
+    aliases: tuple[str, ...] = ()
+    children: tuple[type["Command"], ...] = ()
 
     def __init__(self) -> None:
         cls = type(self)
         self.parser: argparse.ArgumentParser | None = None
-        self.subcommands: list[Command] = []
         self.cli: Cli | None = None
-        self.name = self.name or cls.__name__.lower()
-        own_doc = cls.__doc__ if cls.__doc__ != Command.__doc__ else None
-        self.description = self.description or own_doc or ""
-        self.help_text = self.help_text or self.description.strip().partition("\n")[0]
-        self.register_subcommands()
+        self.subcommands = [child() for child in cls.children]
+        if not self.name:
+            self.name = cls.__name__.lower()
+        if not self.description:
+            self.description = (cls.__doc__ if cls.__doc__ != Command.__doc__ else "") or ""
+        if not self.help_text:
+            self.help_text = self.description.strip().partition("\n")[0]
 
-    def register_subcommands(self) -> None:
-        pass
+    # -- override hooks ----------------------------------------------------
 
-    def setup_arguments(self) -> None:
-        pass
+    def arguments(self, parser: argparse.ArgumentParser) -> None:
+        r"""Declare this command's own flags on ``parser``."""
 
-    def get_shared_parser(self) -> argparse.ArgumentParser | None:
-        return None
+    def lineage_arguments(self, parser: argparse.ArgumentParser) -> None:
+        r"""Declare flags inherited by every child command."""
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        pass
+    def run(self, ns: argparse.Namespace) -> None:
+        r"""Act on the parsed namespace (pure groups leave this untouched)."""
 
-    def add_output_arguments(self, opts: argparse._ArgumentGroup,
-                             tsv_flags: tuple[str, str] = ("-o", "--out"),
-                             include_json: bool = True) -> None:
-        r"""Attach the shared result-writer flag block (ref ``cli.py:424-504``)."""
-        optional_tsv = tsv_flags[0] == "-t"
-        opts.add_argument(
-            *tsv_flags,
-            metavar="FILE",
-            nargs="?" if optional_tsv else None,
-            default=None if optional_tsv else "stdout",
-            const="stdout" if optional_tsv else None,
-            help="Write serotyping results as a TSV report to a file (default: %(" +
-                 ("const" if optional_tsv else "default") + ")s)",
-        )
-        for flags, metavar, const, astype, helptext in _OUTPUT_FLAG_ROWS:
-            if flags[0] == "-j" and not include_json:
-                continue
-            extra = {"type": astype} if astype is not None else {}
-            opts.add_argument(
-                *flags, metavar=metavar, nargs="?", const=const, help=helptext, **extra
-            )
+    # -- tree wiring -------------------------------------------------------
 
-    @property
-    def _runnable(self) -> bool:
-        return type(self).__call__ is not Command.__call__
+    def _overrides(self, hook: str) -> bool:
+        return getattr(type(self), hook) is not getattr(Command, hook)
 
-    def build(self, subparsers: argparse._SubParsersAction,
-              parent_parsers: list[argparse.ArgumentParser] | None = None) -> None:
-        inherited = list(parent_parsers or [])
-        self.parser = subparsers.add_parser(
+    def attach(self, registry: argparse._SubParsersAction,
+               lineage: tuple[argparse.ArgumentParser, ...] = ()) -> None:
+        spec = dict(
             name=self.name,
-            aliases=self.aliases,
+            aliases=list(self.aliases),
             description=paint(self.description, BOLD),
             help=self.help_text or self.description,
-            parents=inherited,
+            parents=list(lineage),
             formatter_class=CliHelpFormatter,
         )
-        self.setup_arguments()
+        self.parser = registry.add_parser(**spec)
+        self.arguments(self.parser)
         _retitle_general_options(self.parser, to_back=True)
-        if self._runnable:
-            self.parser.set_defaults(func=self.__call__)
-        if self.subcommands:
-            registry = self.parser.add_subparsers(
-                title=paint(f"{self.name} subcommands", BOLD),
-                dest=f"{self.name}_subcommand",
-                required=not self._runnable,
-            )
-            if shared := self.get_shared_parser():
-                inherited = [*inherited, shared]
-            for child in self.subcommands:
-                child.cli = self.cli
-                child.build(registry, parent_parsers=inherited)
+        if runnable := self._overrides("run"):
+            self.parser.set_defaults(invoke=self.run)
+        if not self.subcommands:
+            return
+        table = self.parser.add_subparsers(
+            title=paint(f"{self.name} subcommands", BOLD),
+            dest=f"{self.name}_subcommand",
+            required=not runnable,
+        )
+        if self._overrides("lineage_arguments"):
+            heirloom = argparse.ArgumentParser(add_help=False)
+            self.lineage_arguments(heirloom)
+            lineage = (*lineage, heirloom)
+        for child in self.subcommands:
+            child.cli = self.cli
+            child.attach(table, lineage)
 
 
 def main() -> None:
@@ -338,8 +349,8 @@ def main() -> None:
         epilog="📚 A TPU-native framework with the capabilities of Kaptive 3.",
     ) as app:
         for command_cls in (Database, Type, Convert):
-            app.add_command(command_cls())
-        app.run()
+            app.mount(command_cls())
+        app.dispatch()
 
 
 if __name__ == "__main__":

@@ -3,8 +3,9 @@ r"""CLI command tree for database management: ``kaptive-tpu db ...``.
 Capability parity with ``/root/reference/src/kaptive/db/cli.py``: the
 ``Database`` parent command with ``list``/``available``/``add``/``install``/
 ``update``/``reset``/``metadata`` and the ``extract`` tree dumping loci/genes/
-proteins as FASTA (:28-418).  The simple name-printing and lifecycle commands
-here are parameterised bases rather than one-off classes.
+proteins as FASTA (:28-418).  The simple name-printing, lifecycle, and extract
+commands are parameterised bases; the metadata panel is driven by a label
+roster rather than unrolled row statements.
 """
 
 from __future__ import annotations
@@ -24,30 +25,14 @@ def _needs_database_arg(parser: argparse.ArgumentParser, helptext: str, **kw) ->
     parser.add_argument_group("📥 Inputs").add_argument("database", help=helptext, **kw)
 
 
-class Database(Command):
-    r"""📦 Manage local and remote reference databases.
-
-    Aliases:
-        db
-    """
-
-    aliases = ["db"]
-
-    def register_subcommands(self) -> None:
-        self.subcommands = [
-            List(), Available(), Add(), Install(), Update(), Reset(), Extract(), Metadata(),
-        ]
-
-
 class _PrintNames(Command):
     r"""Prints one database keyword per line from a manager query."""
 
     query = ""  # DatabaseManager classmethod to call
     none_note = ""  # verbose note when the query comes back empty
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        names = getattr(_manager(), self.query)()
-        if names:
+    def run(self, ns: argparse.Namespace) -> None:
+        if names := getattr(_manager(), self.query)():
             print("\n".join(names))
         else:
             self.cli.msg(self.none_note)
@@ -60,7 +45,7 @@ class List(_PrintNames):
         ls
     """
 
-    aliases = ["ls"]
+    aliases = ("ls",)
     query, none_note = "installed", "❌ No databases installed"
 
 
@@ -71,20 +56,20 @@ class Available(_PrintNames):
         avail
     """
 
-    aliases = ["avail"]
+    aliases = ("avail",)
     query, none_note = "known", "❌ No available databases found"
 
 
 class Install(Command):
     r"""📦 Install known reference databases via keyword."""
 
-    def setup_arguments(self) -> None:
+    def arguments(self, parser: argparse.ArgumentParser) -> None:
         _needs_database_arg(
-            self.parser, "Database keyword (see: `kaptive-tpu db avail`) or 'all'"
+            parser, "Database keyword (see: `kaptive-tpu db avail`) or 'all'"
         )
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        target = args.database
+    def run(self, ns: argparse.Namespace) -> None:
+        target = ns.database
         self.cli.msg(
             "📥 Installing all known databases concurrently..."
             if target == "all"
@@ -101,21 +86,21 @@ class Install(Command):
 class Update(Command):
     r"""🔄 Update installed local databases from remote repositories."""
 
-    def setup_arguments(self) -> None:
+    def arguments(self, parser: argparse.ArgumentParser) -> None:
         _needs_database_arg(
-            self.parser,
+            parser,
             "Database keyword (see: `kaptive-tpu db list`) or 'all' (default: all)",
             nargs="?", default="all",
         )
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        target = args.database
+    def run(self, ns: argparse.Namespace) -> None:
+        target = ns.database
         self.cli.msg(
             "🔄 Checking all installed databases for updates concurrently..."
             if target == "all"
             else f"🔄 Checking '{target}' for updates..."
         )
-        refreshed = [db for db in _manager().update(target)]
+        refreshed = list(_manager().update(target))
         for db in refreshed:
             self.cli.msg(f"✅ Updated {db.metadata.name} to version {db.metadata.version}")
         if not refreshed:
@@ -125,7 +110,7 @@ class Update(Command):
 class Reset(Command):
     r"""🧹 Uninstall all local databases and reset local cache."""
 
-    def __call__(self, args: argparse.Namespace) -> None:
+    def run(self, ns: argparse.Namespace) -> None:
         self.cli.msg("🧹 Uninstalling all local databases...")
         _manager().reset()
         self.cli.msg("✅ All local databases have been uninstalled and reset.")
@@ -134,9 +119,9 @@ class Reset(Command):
 class Add(Command):
     r"""🔗 Add a custom reference database from a GitHub repository."""
 
-    def setup_arguments(self) -> None:
-        _needs_database_arg(self.parser, "Name for the new database")
-        gh = self.parser.add_argument_group(paint("🌐 GitHub Details", BOLD))
+    def arguments(self, parser: argparse.ArgumentParser) -> None:
+        _needs_database_arg(parser, "Name for the new database")
+        gh = parser.add_argument_group(paint("🌐 GitHub Details", BOLD))
         gh.add_argument("owner", help="GitHub repository owner")
         gh.add_argument("repo_name", help="GitHub repository name")
         gh.add_argument(
@@ -144,9 +129,9 @@ class Add(Command):
             help="GitHub repository branch (default: main)",
         )
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        self.cli.msg(f"⤵️ Adding {args.database} from {args.owner}/{args.repo_name}/{args.branch}")
-        db = _manager().add(args.owner, args.repo_name, args.database, args.branch)
+    def run(self, ns: argparse.Namespace) -> None:
+        self.cli.msg(f"⤵️ Adding {ns.database} from {ns.owner}/{ns.repo_name}/{ns.branch}")
+        db = _manager().add(ns.owner, ns.repo_name, ns.database, ns.branch)
         if db is None:
             self.cli.msg("❌ Failed to add database! Is it already installed?")
         else:
@@ -160,32 +145,36 @@ class Metadata(Command):
         info
     """
 
-    aliases = ["info"]
+    aliases = ("info",)
 
-    def setup_arguments(self) -> None:
+    # Panel rows in display order; labels not in the computed set project the
+    # lower-cased metadata attribute of the same name.
+    _PANEL = (
+        "Organism", "Taxon", "Antigen", "Pathway", "Version", "Keyword",
+        "Threshold", "GenBank", "DOIs", "Repository", "Contact",
+    )
+
+    def arguments(self, parser: argparse.ArgumentParser) -> None:
         _needs_database_arg(
-            self.parser, "Database path or keyword (see: `kaptive-tpu db list`)"
+            parser, "Database path or keyword (see: `kaptive-tpu db list`)"
         )
 
-    @staticmethod
-    def _rows(meta) -> list[tuple[str, str]]:
-        contacts = ", ".join(f"{who} <{mail}>" for who, mail in meta.contact.items())
+    @classmethod
+    def _rows(cls, meta) -> list[tuple[str, str]]:
+        computed = {
+            "Taxon": str(meta.taxon),
+            "Threshold": f"{meta.id_threshold}%",
+            "DOIs": ", ".join(meta.doi) if meta.doi else "None",
+            "Repository": f"https://github.com/{meta.owner}/{meta.repo}/tree/{meta.branch}",
+            "Contact": ", ".join(f"{who} <{mail}>" for who, mail in meta.contact.items()),
+        }
         return [
-            ("Organism", meta.organism),
-            ("Taxon", str(meta.taxon)),
-            ("Antigen", meta.antigen),
-            ("Pathway", meta.pathway),
-            ("Version", meta.version),
-            ("Keyword", meta.keyword),
-            ("Threshold", f"{meta.id_threshold}%"),
-            ("GenBank", meta.genbank),
-            ("DOIs", ", ".join(meta.doi) if meta.doi else "None"),
-            ("Repository", f"https://github.com/{meta.owner}/{meta.repo}/tree/{meta.branch}"),
-            ("Contact", contacts),
+            (label, computed[label] if label in computed else getattr(meta, label.lower()))
+            for label in cls._PANEL
         ]
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        meta = _manager().get(args.database).metadata
+    def run(self, ns: argparse.Namespace) -> None:
+        meta = _manager().get(ns.database).metadata
         rows = self._rows(meta)
         width = max(len(label) for label, _ in rows)
         body = "\n".join(
@@ -194,40 +183,19 @@ class Metadata(Command):
         print(paint(f"\n📊 Metadata for {meta.name}\n", BOLD_CYAN) + body + "\n")
 
 
-class Extract(Command):
-    r"""📤 Extract database records in FASTA format."""
-
-    def register_subcommands(self) -> None:
-        self.subcommands = [Loci(), Genes(), Proteins()]
-
-    def get_shared_parser(self) -> argparse.ArgumentParser:
-        parser = argparse.ArgumentParser(add_help=False)
-        _needs_database_arg(parser, "Database path or keyword (see: `kaptive-tpu db list`)")
-        out = parser.add_argument_group("📤 Outputs")
-        out.add_argument(
-            "-o", "--out", default="-", metavar="FILE",
-            help="Output file to write fasta to (default: stdout)",
-        )
-        out.add_argument(
-            "--use-indices", action="store_true",
-            help="Use numeric indices instead of string IDs for fasta headers",
-        )
-        return parser
-
-
 class _ExtractRecords(Command):
     r"""Shared extract implementation: subclasses name the database record set."""
 
     record_attr = ""  # Database attribute holding the Sequences batch
     noun = ""  # human label for messages
 
-    def __call__(self, args: argparse.Namespace) -> None:
-        self.cli.msg(f"💽 Loading database {args.database}...")
-        db = _manager().get(args.database)
-        sink = self.cli.open_file(args.out, "wb")
+    def run(self, ns: argparse.Namespace) -> None:
+        self.cli.msg(f"💽 Loading database {ns.database}...")
+        db = _manager().get(ns.database)
+        sink = self.cli.open_file(ns.out, "wb")
         self.cli.msg(f"📤 Extracting {self.noun}...")
-        sink.write(getattr(db, self.record_attr).to_fasta(args.use_indices))
-        self.cli.msg(f"✅ Written {self.noun} sequences to {args.out}.")
+        sink.write(getattr(db, self.record_attr).to_fasta(ns.use_indices))
+        self.cli.msg(f"✅ Written {self.noun} sequences to {ns.out}.")
 
 
 class Loci(_ExtractRecords):
@@ -246,3 +214,32 @@ class Proteins(_ExtractRecords):
     r"""🧶 Extract translated protein sequences in FASTA format."""
 
     record_attr, noun = "translations", "protein"
+
+
+class Extract(Command):
+    r"""📤 Extract database records in FASTA format."""
+
+    children = (Loci, Genes, Proteins)
+
+    def lineage_arguments(self, parser: argparse.ArgumentParser) -> None:
+        _needs_database_arg(parser, "Database path or keyword (see: `kaptive-tpu db list`)")
+        out = parser.add_argument_group("📤 Outputs")
+        out.add_argument(
+            "-o", "--out", default="-", metavar="FILE",
+            help="Output file to write fasta to (default: stdout)",
+        )
+        out.add_argument(
+            "--use-indices", action="store_true",
+            help="Use numeric indices instead of string IDs for fasta headers",
+        )
+
+
+class Database(Command):
+    r"""📦 Manage local and remote reference databases.
+
+    Aliases:
+        db
+    """
+
+    aliases = ("db",)
+    children = (List, Available, Add, Install, Update, Reset, Extract, Metadata)

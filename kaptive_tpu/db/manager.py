@@ -22,7 +22,6 @@ import tomllib
 import urllib.error
 from collections.abc import Generator
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import asdict
 from pathlib import Path
 from tempfile import TemporaryDirectory
 from typing import NamedTuple
@@ -92,7 +91,7 @@ class _CacheSlot:
         return pickle.loads(self.pickle_path.read_bytes())
 
     def write(self, db: Database) -> int:
-        self.sidecar_path.write_text(json.dumps(asdict(db.metadata)))
+        self.sidecar_path.write_text(json.dumps(db.metadata.to_dict()))
         return self.pickle_path.write_bytes(
             pickle.dumps(db, protocol=pickle.HIGHEST_PROTOCOL)
         )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, NamedTuple
 
 import numpy as np
 import numpy.typing as npt
@@ -23,58 +23,56 @@ class DatabaseError(Exception):
     r"""Raised for database loading, metadata validation, or format errors."""
 
 
-def _as_is(value: Any) -> Any:
-    return value
-
-
-# TOML schema: required keys with their coercions, then keys that fall back to
-# a legacy alias and default to ``{}`` (format contract, ref db/models.py:96-139).
-_REQUIRED: tuple[tuple[str, Any], ...] = (
-    ("name", _as_is),
-    ("keyword", _as_is),
-    ("genbank", _as_is),
-    ("organism", _as_is),
-    ("taxon", int),
-    ("antigen", _as_is),
-    ("pathway", _as_is),
-    ("version", _as_is),
-    ("id_threshold", float),
-    ("doi", _as_is),
-    ("owner", _as_is),
-    ("repo", _as_is),
-    ("branch", _as_is),
-    ("contact", _as_is),
+# TOML schema (format contract, ref db/models.py:96-139): key -> coercion for
+# the required keys, then keys falling back to a legacy alias + ``{}`` default.
+_SCHEMA_COERCE: dict[str, Any] = dict.fromkeys(
+    "name keyword genbank organism antigen pathway version doi"
+    " owner repo branch contact".split()
 )
-_ALIASED: tuple[tuple[str, str], ...] = (
-    ("phenotype_logic", "logic"),
-    ("antigenic_units", "units"),
-)
+_SCHEMA_COERCE.update(taxon=int, id_threshold=float)
+_SCHEMA_LEGACY = {"phenotype_logic": "logic", "antigenic_units": "units"}
 
 
-@dataclass(frozen=True, slots=True)
 class DatabaseMetadata:
     r"""Validated TOML metadata for a reference database (identity, organism,
-    repo provenance, and the phenotype/antigenic rule tables)."""
+    repo provenance, and the phenotype/antigenic rule tables).
 
-    # NB: field order is part of the pickle-cache compatibility contract —
-    # slotted frozen dataclasses restore positionally, so reordering breaks
-    # previously cached databases.
-    name: str
-    keyword: str
-    genbank: str
-    organism: str
-    taxon: int
-    antigen: str
-    pathway: str
-    version: str
-    id_threshold: float
-    doi: list[str]
-    owner: str
-    repo: str
-    branch: str
-    contact: dict
-    phenotype_logic: dict
-    antigenic_units: dict
+    One mapping, attribute-projected; the key roster IS the TOML schema, so
+    there is no per-key field declaration anywhere.
+    """
+
+    __slots__ = ("_fields",)
+    FIELDS = (*_SCHEMA_COERCE, *_SCHEMA_LEGACY)
+
+    def __init__(self, **fields: Any) -> None:
+        if gaps := [key for key in self.FIELDS if key not in fields]:
+            raise DatabaseError(f"Metadata is missing required field: {gaps[0]!r}")
+        self._fields = fields
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return object.__getattribute__(self, "_fields")[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, DatabaseMetadata) and other._fields == self._fields
+
+    def __repr__(self) -> str:
+        return f"DatabaseMetadata({self._fields!r})"
+
+    # Pickled caches may hold either this mapping form or the older slotted
+    # per-field form ((None, slot_dict) tuples) — accept both on restore.
+    def __getstate__(self) -> dict:
+        return self._fields
+
+    def __setstate__(self, state: Any) -> None:
+        if isinstance(state, tuple):
+            state = {**(state[0] or {}), **(state[1] or {})}
+        self._fields = state
+
+    def to_dict(self) -> dict:
+        return dict(self._fields)
 
     @property
     def parsed_version(self) -> tuple[int, ...]:
@@ -85,29 +83,33 @@ class DatabaseMetadata:
     def from_dict(cls, data: dict) -> DatabaseMetadata:
         if not isinstance(data, dict):
             raise DatabaseError("Metadata must be a dictionary.")
-        fields: dict[str, Any] = {}
         try:
-            for key, coerce in _REQUIRED:
-                fields[key] = coerce(data[key])
+            fields = {
+                key: data[key] if coerce is None else coerce(data[key])
+                for key, coerce in _SCHEMA_COERCE.items()
+            }
         except KeyError as exc:
             raise DatabaseError(f"Metadata is missing required field: {exc.args[0]!r}")
         except (TypeError, ValueError) as exc:
             raise DatabaseError(f"Metadata has an invalid value type: {exc}")
-        for key, legacy in _ALIASED:
+        for key, legacy in _SCHEMA_LEGACY.items():
             fields[key] = data.get(key, data.get(legacy, {}))
         return cls(**fields)
 
 
-@dataclass(slots=True, frozen=True)
-class Phenotype:
-    r"""One phenotype rule: loci it applies to, genes that must be present
+class Phenotype(NamedTuple):
+    r"""One phenotype rule: the loci it applies to, genes that must be present
     (``extra_genes``) or intact (``inactive_genes``), resolution priority, and
-    whether the id is appended as a suffix rather than replacing the call."""
+    whether the id is appended as a suffix rather than replacing the call.
+
+    Field roster (semantics fixed by the DB rule format): ``id`` then the
+    three name-sets, ``priority`` (default 50), ``as_suffix`` (default off).
+    """
 
     id: str
-    loci: set[str]
-    extra_genes: set[str]
-    inactive_genes: set[str]
+    loci: set
+    extra_genes: set
+    inactive_genes: set
     priority: int = 50
     as_suffix: bool = False
 
@@ -115,6 +117,20 @@ class Phenotype:
 def _mask2d(rows: Any, dtype: Any) -> npt.NDArray[Any]:
     arr = np.array(rows, dtype=dtype)
     return arr if arr.ndim == 2 else arr.reshape(len(arr), -1)
+
+
+# Column -> dtype roster for (de)serialisation; matrix columns span rules x
+# loci (or rules x gene clusters) and keep 2-D shape even when empty.
+_PHENO_DTYPES: dict[str, Any] = {
+    "ids": "S32",
+    "locus_masks": bool,
+    "extra_masks": np.int8,
+    "inactive_masks": np.int8,
+    "extra_counts": np.int8,
+    "priorities": np.int8,
+    "as_suffix": bool,
+}
+_PHENO_MATRICES = frozenset(("locus_masks", "extra_masks", "inactive_masks"))
 
 
 @dataclass(frozen=True, slots=True)
@@ -137,29 +153,24 @@ class Phenotypes(SoAContainer):
 
     @classmethod
     def empty(cls) -> Phenotypes:
-        zero = np.empty((0, 0), dtype=np.int8)
-        return cls(
-            ids=np.empty(0, dtype="S32"),
-            locus_masks=zero.astype(bool),
-            extra_masks=zero,
-            inactive_masks=zero,
-            extra_counts=np.empty(0, dtype=np.int8),
-            priorities=np.empty(0, dtype=np.int8),
-            as_suffix=np.empty(0, dtype=bool),
-        )
+        blank = {
+            name: np.empty((0, 0) if name in _PHENO_MATRICES else 0, dtype=dt)
+            for name, dt in _PHENO_DTYPES.items()
+        }
+        return cls(**blank)
 
     @classmethod
     def from_dict(cls, data: dict) -> Phenotypes:
-        extra = _mask2d(data["extra_masks"], np.int8)
-        counts = data.get("extra_counts")
-        if counts is None:
-            counts = extra.sum(axis=1) if extra.size else np.empty(0)
-        return cls(
-            ids=as_bytes_array(data["ids"]),
-            locus_masks=_mask2d(data["locus_masks"], bool),
-            extra_masks=extra,
-            inactive_masks=_mask2d(data["inactive_masks"], np.int8),
-            extra_counts=np.array(counts, dtype=np.int8),
-            priorities=np.array(data["priorities"], dtype=np.int8),
-            as_suffix=np.array(data["as_suffix"], dtype=bool),
-        )
+        pool = dict(data)
+        pool["extra_masks"] = extra = _mask2d(pool["extra_masks"], np.int8)
+        if pool.get("extra_counts") is None:
+            pool["extra_counts"] = extra.sum(axis=1) if extra.size else np.empty(0)
+
+        def column(name: str, dt: Any) -> np.ndarray:
+            if name == "ids":
+                return as_bytes_array(pool[name])
+            if name in _PHENO_MATRICES:
+                return _mask2d(pool[name], dt)
+            return np.array(pool[name], dtype=dt)
+
+        return cls(**{name: column(name, dt) for name, dt in _PHENO_DTYPES.items()})

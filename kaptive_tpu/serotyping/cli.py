@@ -19,7 +19,7 @@ from typing import Any
 
 import numpy as np
 
-from kaptive_tpu.cli import Cli, Colors, Command
+from kaptive_tpu.cli import Cli, Colors, Command, add_output_arguments
 
 
 def _json_default(o: Any):
@@ -128,17 +128,17 @@ class Type(Command):
 
     aliases = ["assembly"]
 
-    def setup_arguments(self) -> None:
-        opts = self.parser.add_argument_group(Colors.wrap("📥 Inputs", Colors.BOLD))
+    def arguments(self, parser: argparse.ArgumentParser) -> None:
+        opts = parser.add_argument_group(Colors.wrap("📥 Inputs", Colors.BOLD))
         opts.add_argument("database", help="Database path or keyword (see: `kaptive-tpu db list`)")
         opts.add_argument(
             "genomes", nargs="+", help="Genome assemblies in fasta format; can be compressed"
         )
 
-        opts = self.parser.add_argument_group(Colors.wrap("📤 Outputs", Colors.BOLD))
-        self.add_output_arguments(opts, tsv_flags=("-o", "--out"), include_json=True)
+        opts = parser.add_argument_group(Colors.wrap("📤 Outputs", Colors.BOLD))
+        add_output_arguments(opts, tsv_flags=("-o", "--out"), include_json=True)
 
-        opts = self.parser.add_argument_group(Colors.wrap("🔬 Confidence options", Colors.BOLD))
+        opts = parser.add_argument_group(Colors.wrap("🔬 Confidence options", Colors.BOLD))
         opts.add_argument(
             "--max-other-genes", type=int, metavar="", default=1,
             help="Typeable if <= other genes (default: %(default)s)",
@@ -152,7 +152,7 @@ class Type(Command):
             help="Typeable if any genes in locus are below threshold (default: False)",
         )
 
-        opts = self.parser.add_argument_group(Colors.wrap("🔧 Other options", Colors.BOLD))
+        opts = parser.add_argument_group(Colors.wrap("🔧 Other options", Colors.BOLD))
         opts.add_argument(
             "-t", "--threads", type=int, default=0, metavar="",
             help="Host ingest threads (FASTA parse/encode/pack) or 0 for all available "
@@ -185,7 +185,7 @@ class Type(Command):
             "runs skip the compile cost entirely (default: False)",
         )
 
-    def __call__(self, args: argparse.Namespace) -> None:
+    def run(self, args: argparse.Namespace) -> None:
         self.cli.msg(f"💽 Loading database {args.database}...")
         from kaptive_tpu.db import DatabaseManager
         from kaptive_tpu.serotyping import Serotyper
@@ -275,16 +275,16 @@ class Convert(Command):
     TSV, PHA4GE TSV, or sequence FASTA files without re-running the serotyping pipeline.
     """
 
-    def setup_arguments(self) -> None:
-        opts = self.parser.add_argument_group(Colors.wrap("📥 Inputs", Colors.BOLD))
+    def arguments(self, parser: argparse.ArgumentParser) -> None:
+        opts = parser.add_argument_group(Colors.wrap("📥 Inputs", Colors.BOLD))
         opts.add_argument(
             "jsonl", nargs="?", default="stdin",
             help="Serialised results in JSON-lines format (default: stdin; '-' also accepted)",
         )
-        opts = self.parser.add_argument_group(Colors.wrap("📤 Outputs", Colors.BOLD))
-        self.add_output_arguments(opts, tsv_flags=("-t", "--tsv"), include_json=False)
+        opts = parser.add_argument_group(Colors.wrap("📤 Outputs", Colors.BOLD))
+        add_output_arguments(opts, tsv_flags=("-t", "--tsv"), include_json=False)
 
-    def __call__(self, args: argparse.Namespace) -> None:
+    def run(self, args: argparse.Namespace) -> None:
         from kaptive_tpu.serotyping import SerotypingResult
 
         exporter = ResultExporter(self.cli, args)

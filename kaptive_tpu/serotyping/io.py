@@ -1,18 +1,18 @@
 r"""TSV report rows: classic Kaptive format and the PHA4GE standard.
 
 Capability parity with ``/root/reference/src/kaptive/serotyping/io.py``:
-``ReportRow`` (:19-97), 22-column ``KaptiveRow`` (:100-296) and ``Pha4geRow``
-(:299-382).  Column names, the legacy header transform, and every ``%.2f%%``
-cell format are byte-level output contracts; around those constants the row
-machinery here is label-table driven (state tags, problem notes, and the
-string-field mapping are data, not unrolled statements).
+``ReportRow`` (:19-97), the 22-column Kaptive row (:100-296) and the PHA4GE
+row (:299-382).  The column rosters, the legacy header transform, and every
+``%.2f%%`` cell format are byte-level output contracts; everything else is
+this repo's own machinery — a row is one cell dict validated against a
+``COLUMNS`` spec string (not a dataclass with one field per column), header
+label transforms are paired ``_label``/``_column`` hooks, and the per-gene
+detail strings are driven by small data tables.
 """
 
 from __future__ import annotations
 
-from abc import ABC, abstractmethod
 from collections.abc import Iterable, Iterator
-from dataclasses import dataclass, fields
 from typing import Self
 
 import numpy as np
@@ -64,89 +64,112 @@ def _confidence_cell(result: SerotypingResult) -> bytes:
     return b"Typeable" if result.typeable else b"Untypeable"
 
 
-@dataclass(slots=True, frozen=True)
-class ReportRow(ABC):
-    r"""Tabular report row: column order = field order, cells are raw bytes."""
+class ReportRow:
+    r"""Spec-driven TSV row.
 
-    @classmethod
-    def _labels(cls) -> list[str]:
-        return [f.name for f in fields(cls)]
+    Cell order and names come from the class-level ``COLUMNS`` roster;
+    ``PRESET`` supplies constant cells a caller may omit.  Storage is a
+    single dict, rendered with ``bytes(row)`` and re-read with ``read_tsv``.
+    """
+
+    COLUMNS: tuple[str, ...] = ()
+    PRESET: dict[str, bytes] = {}
+
+    __slots__ = ("_cells",)
+
+    def __init__(self, **cells: bytes) -> None:
+        merged = dict(self.PRESET)
+        merged.update(cells)
+        if gaps := [name for name in self.COLUMNS if name not in merged]:
+            raise TypeError(f"{type(self).__name__} is missing cells: {gaps}")
+        self._cells = merged
+
+    def __getattr__(self, name: str) -> bytes:
+        try:
+            return object.__getattribute__(self, "_cells")[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __eq__(self, other: object) -> bool:
+        return type(other) is type(self) and other._cells == self._cells
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self._cells!r})"
+
+    def __bytes__(self) -> bytes:
+        row = self._cells
+        return b"\t".join(row[name] for name in self.COLUMNS) + b"\n"
+
+    # Header label <-> column name transform hooks (identity by default).
+
+    @staticmethod
+    def _label(column: str) -> bytes:
+        return column.encode("utf-8")
+
+    @staticmethod
+    def _column(label: bytes) -> str:
+        return label.decode("utf-8")
 
     @classmethod
     def header(cls) -> bytes:
-        return "\t".join(cls._labels()).encode("utf-8") + b"\n"
-
-    def __bytes__(self) -> bytes:
-        return b"\t".join(getattr(self, name) for name in self._labels()) + b"\n"
+        return b"\t".join(map(cls._label, cls.COLUMNS)) + b"\n"
 
     @classmethod
-    @abstractmethod
-    def from_result(cls, result: SerotypingResult) -> Self: ...
-
-    @classmethod
-    def _parse_header_line(cls, header_line: bytes) -> list[str]:
-        return header_line.rstrip(b"\r\n").decode("utf-8").split("\t")
+    def from_result(cls, result: SerotypingResult) -> Self:
+        raise NotImplementedError
 
     @classmethod
     def read_tsv(cls, lines: Iterable[bytes]) -> Iterator[Self]:
         r"""Re-parse rows previously serialised by this class (column-order
         tolerant; unknown columns are ignored)."""
         stream = iter(lines)
-        first = next(stream, None)
-        if first is None:
+        header_line = next(stream, None)
+        if header_line is None:
             return
-        order = cls._parse_header_line(first)
-        known = set(cls._labels())
+        names = [cls._column(tok) for tok in header_line.rstrip(b"\r\n").split(b"\t")]
+        roster = set(cls.COLUMNS)
         for raw in stream:
-            raw = raw.rstrip(b"\r\n")
-            if raw:
-                cells = dict(zip(order, raw.split(b"\t")))
-                yield cls(**{k: v for k, v in cells.items() if k in known})
+            if raw := raw.rstrip(b"\r\n"):
+                found = zip(names, raw.split(b"\t"))
+                yield cls(**{name: cell for name, cell in found if name in roster})
 
 
-def _legacy_label(name: str) -> bytes:
-    r"""Field name -> classic Kaptive header label (``_details`` -> ``, details``)."""
-    return name.replace("_details", ", details").replace("_", " ").encode("utf-8")
-
-
-@dataclass(slots=True, frozen=True)
 class KaptiveRow(ReportRow):
     r"""Classic Kaptive TSV row (22 columns, legacy-compatible header)."""
 
-    Kaptive_version: bytes
-    Database_name: bytes
-    Database_version: bytes
-    Assembly: bytes
-    Best_match_locus: bytes
-    Best_match_type: bytes
-    Match_confidence: bytes
-    Problems: bytes
-    Identity: bytes
-    Coverage: bytes
-    Length_discrepancy: bytes
-    Expected_genes_in_locus: bytes
-    Expected_genes_in_locus_details: bytes
-    Missing_expected_genes: bytes
-    Other_genes_in_locus: bytes
-    Other_genes_in_locus_details: bytes
-    Expected_genes_outside_locus: bytes
-    Expected_genes_outside_locus_details: bytes
-    Other_genes_outside_locus: bytes
-    Other_genes_outside_locus_details: bytes
-    Truncated_genes_details: bytes
-    Extra_genes_details: bytes
+    __slots__ = ()
 
-    @classmethod
-    def header(cls) -> bytes:
-        return b"\t".join(map(_legacy_label, cls._labels())) + b"\n"
+    # Column roster — a byte-level output contract (ref io.py:100-296).
+    COLUMNS = tuple(
+        "Kaptive_version Database_name Database_version Assembly"
+        " Best_match_locus Best_match_type Match_confidence Problems"
+        " Identity Coverage Length_discrepancy"
+        " Expected_genes_in_locus Expected_genes_in_locus_details"
+        " Missing_expected_genes"
+        " Other_genes_in_locus Other_genes_in_locus_details"
+        " Expected_genes_outside_locus Expected_genes_outside_locus_details"
+        " Other_genes_outside_locus Other_genes_outside_locus_details"
+        " Truncated_genes_details Extra_genes_details".split()
+    )
 
-    @classmethod
-    def _parse_header_line(cls, header_line: bytes) -> list[str]:
-        labels = header_line.rstrip(b"\r\n").split(b"\t")
-        return [
-            lab.replace(b", details", b"_details").replace(b" ", b"_").decode("utf-8")
-            for lab in labels
-        ]
+    # Columns whose cell is a UTF-8 passthrough of a result attribute.
+    _VERBATIM = (
+        ("Kaptive_version", "kaptive_version"),
+        ("Database_name", "database_name"),
+        ("Database_version", "database_version"),
+        ("Assembly", "genome"),
+        ("Best_match_locus", "best_locus_name"),
+        ("Best_match_type", "phenotype"),
+    )
+
+    @staticmethod
+    def _label(column: str) -> bytes:
+        r"""Column name -> classic header label (``_details`` -> ``, details``)."""
+        return column.replace("_details", ", details").replace("_", " ").encode("utf-8")
+
+    @staticmethod
+    def _column(label: bytes) -> str:
+        return label.replace(b", details", b"_details").replace(b" ", b"_").decode("utf-8")
 
     @classmethod
     def from_result(cls, result: SerotypingResult) -> "KaptiveRow":
@@ -166,18 +189,7 @@ class KaptiveRow(ReportRow):
         broken = np.isin(
             result.gene_states, (GeneState.TRUNCATED.value, GeneState.PARTIAL.value)
         )
-        # UTF-8 passthrough columns, then the computed/format cells.
-        cells = {
-            column: getattr(result, attr).encode("utf-8")
-            for column, attr in (
-                ("Kaptive_version", "kaptive_version"),
-                ("Database_name", "database_name"),
-                ("Database_version", "database_version"),
-                ("Assembly", "genome"),
-                ("Best_match_locus", "best_locus_name"),
-                ("Best_match_type", "phenotype"),
-            )
-        }
+        cells = {column: getattr(result, attr).encode("utf-8") for column, attr in cls._VERBATIM}
         cells.update(
             Match_confidence=_confidence_cell(result),
             Problems=result.problems.to_symbols(),
@@ -201,23 +213,26 @@ class KaptiveRow(ReportRow):
         return cls(**cells)
 
 
-@dataclass(slots=True, frozen=True, kw_only=True)
 class Pha4geRow(ReportRow):
     r"""PHA4GE genotyping-specification TSV row."""
 
-    sample: bytes
-    genotyping_method: bytes = b"In silico serotyping"
-    genotyping_schema_taxon: bytes
-    genotyping_database_name: bytes
-    genotyping_database_version: bytes
-    genotyping_schema_name: bytes = b"Kaptive"
-    genotyping_software_name: bytes = b"Kaptive"
-    genotyping_software_version: bytes
-    genotype: bytes
-    genotype_predicted_phenotype: bytes
-    genotype_confidence_value: bytes
-    genotyping_details: bytes
-    genotyping_method_url: bytes = b"https://github.com/klebgenomics/Kaptive"
+    __slots__ = ()
+
+    # Column roster — the PHA4GE specification order (ref io.py:299-382).
+    COLUMNS = tuple(
+        "sample genotyping_method genotyping_schema_taxon"
+        " genotyping_database_name genotyping_database_version"
+        " genotyping_schema_name genotyping_software_name"
+        " genotyping_software_version genotype genotype_predicted_phenotype"
+        " genotype_confidence_value genotyping_details genotyping_method_url".split()
+    )
+
+    PRESET = {
+        "genotyping_method": b"In silico serotyping",
+        "genotyping_schema_name": b"Kaptive",
+        "genotyping_software_name": b"Kaptive",
+        "genotyping_method_url": b"https://github.com/klebgenomics/Kaptive",
+    }
 
     @staticmethod
     def _details_cell(result: SerotypingResult) -> bytes:

@@ -38,7 +38,7 @@ def main() -> None:
     for cmd_cls in (Type, Convert, Database):
         cli = Cli()
         cmd = cmd_cls()
-        cli.add_command(cmd)
+        cli.mount(cmd)
         pages: list[str] = [f"# kaptive-tpu {cmd.name}\n"]
         _walk(cmd, ["kaptive-tpu", cmd.name], pages)
         page = DOCS / f"{cmd.name}.md"
