@@ -56,6 +56,14 @@ _lib.fasta_parse.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
 ]
 _lib.encode_dna_2bit.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
+_lib.seed_anchors.restype = ctypes.c_int64
+_lib.seed_anchors.argtypes = [
+    ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+    ctypes.c_void_p, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_int32,
+    ctypes.c_int32, ctypes.c_int64,
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+]
 _lib.build_contig_stream.restype = ctypes.c_int64
 _lib.build_contig_stream.argtypes = [
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -145,3 +153,45 @@ def build_contig_stream(
         exc_cap,
     )
     return flat, packed, exc[: min(n_exc, exc_cap)], real, int(n_exc)
+
+
+def seed_anchors(
+    codes: np.ndarray, k: int, w: int, table_hashes: np.ndarray,
+    max_occ: int, cap_out: int = 1 << 17,
+    bloom_words: np.ndarray | None = None, bloom_bits: int = 0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    r"""Native minimizer scan + sorted-table match over a contig code stream.
+
+    Mirrors ``minimizer_scan_host`` + the anchor expansion of
+    ``ops.mapper.find_anchors`` in one C pass.  Returns
+    ``(table_rows, flat_positions, contig_strands, n_minimizers,
+    n_candidates)`` — anchor rows in ascending flat-position order.  Grows the
+    output buffers and retries if ``cap_out`` is exceeded (the C call returns
+    the exact total either way).
+    """
+    codes_c = np.ascontiguousarray(codes, dtype=np.uint8)
+    table_c = np.ascontiguousarray(table_hashes, dtype=np.uint32)
+    bloom_c = (
+        np.ascontiguousarray(bloom_words, dtype=np.uint32)
+        if bloom_words is not None else None
+    )
+    bloom_p = bloom_c.ctypes.data_as(ctypes.c_void_p) if bloom_c is not None else None
+    while True:
+        ti = np.empty(cap_out, dtype=np.int32)
+        cpos = np.empty(cap_out, dtype=np.int32)
+        cstrand = np.empty(cap_out, dtype=np.uint8)
+        counts = np.zeros(2, dtype=np.int64)
+        n = _lib.seed_anchors(
+            codes_c.ctypes.data_as(ctypes.c_void_p), len(codes_c),
+            int(k), int(w),
+            table_c.ctypes.data_as(ctypes.c_void_p), len(table_c),
+            bloom_p, int(bloom_bits),
+            int(max_occ), cap_out,
+            ti.ctypes.data_as(ctypes.c_void_p),
+            cpos.ctypes.data_as(ctypes.c_void_p),
+            cstrand.ctypes.data_as(ctypes.c_void_p),
+            counts.ctypes.data_as(ctypes.c_void_p),
+        )
+        if n <= cap_out:
+            return ti[:n], cpos[:n], cstrand[:n], int(counts[0]), int(counts[1])
+        cap_out = int(n)

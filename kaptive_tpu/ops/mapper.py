@@ -153,23 +153,30 @@ class GeneIndex:
         return self._cache["glen"]
 
     @property
-    def device_bloom(self):
-        r"""Membership bitmap over table hashes (device-cached).
+    def host_bloom(self) -> np.ndarray:
+        r"""Membership bitmap over table hashes (host copy, cached).
 
         Contig minimizers overwhelmingly miss the gene table (the table covers
         ~0.5 Mb of genes vs ~5 Mb of genome), so the expensive per-query binary
-        search is gated behind a single-gather bitmap test: bit
+        search is gated behind a single bitmap test: bit
         ``hash & (2^BLOOM_BITS - 1)`` is set for every table hash.  False
         positives (~table_size / 2^BLOOM_BITS) only cost a wasted search slot.
         """
-        if "bloom" not in self._cache:
-            import jax.numpy as jnp
-
+        if "bloom_np" not in self._cache:
             h = self.minimizers.hashes.astype(np.uint64)
             bit = (h & np.uint64((1 << BLOOM_BITS) - 1)).astype(np.int64)
             words = np.zeros(1 << (BLOOM_BITS - 5), dtype=np.uint32)
             np.bitwise_or.at(words, bit >> 5, np.uint32(1) << (bit & 31).astype(np.uint32))
-            self._cache["bloom"] = jnp.asarray(words)
+            self._cache["bloom_np"] = words
+        return self._cache["bloom_np"]
+
+    @property
+    def device_bloom(self):
+        r"""Device copy of :attr:`host_bloom` (gates the device match stage)."""
+        if "bloom" not in self._cache:
+            import jax.numpy as jnp
+
+            self._cache["bloom"] = jnp.asarray(self.host_bloom)
         return self._cache["bloom"]
 
 
@@ -211,6 +218,69 @@ def find_anchors(gene_index: GeneIndex, contig_mins: MinimizerSet, params: Mappe
 
     rel_strand = np.where(g_strand == c_strand, 1, -1).astype(np.int64)
     return g_idx, g_pos, c_idx, c_pos, rel_strand
+
+
+def resolve_seed_mode(requested: str | None = None) -> str:
+    r"""Resolve the seeding mode: ``"host"`` or ``"device"``.
+
+    ``KAPTIVE_SEED_MODE`` (or the explicit argument) forces a mode; ``auto``
+    picks HOST seeding when the native scanner is built and the default JAX
+    backend is an accelerator — there the C scan (~0.12 s/genome on the
+    ingest pool, fully overlapped with device compute) replaces ~0.46 s of
+    serialized-gather-bound device time per 16-genome batch AND drops the
+    per-genome H2D from the 1.33 MB packed stream to ~60 KB of DP problem
+    windows.  On CPU backends the device-scan path stays the default so the
+    jitted scan/match/chain programs keep their test coverage.
+    """
+    mode = requested or os.environ.get("KAPTIVE_SEED_MODE", "auto")
+    if mode in ("host", "device"):
+        return mode
+    try:
+        from kaptive_tpu.native import hostio
+
+        if not hasattr(hostio, "seed_anchors"):
+            return "device"
+    except ImportError:
+        return "device"
+    try:
+        return "device" if jax.default_backend() == "cpu" else "host"
+    except Exception:
+        return "device"
+
+
+def host_seed_chains(gene_index: GeneIndex, contig_index, params: MapperParams) -> dict:
+    r"""Host half of the seed stage: anchors + chains for ONE assembly.
+
+    Native C scan+match (:func:`kaptive_tpu.native.hostio.seed_anchors`,
+    bloom-gated) when built, else the numpy :func:`find_anchors` path — both
+    produce the exact anchor set of the device scan/match stages, then chain
+    with :func:`chain_anchors`.  Ingest worker threads call this ahead of the
+    mapping phase so seeding fully overlaps device compute.
+    """
+    from kaptive_tpu.utils.metrics import count as _count
+
+    tm = gene_index.minimizers
+    try:
+        from kaptive_tpu.native import hostio
+
+        ti, cpos, cstrand, n_min, n_cand = hostio.seed_anchors(
+            contig_index.codes, gene_index.k, gene_index.w, tm.hashes,
+            min(params.max_occ, DEVICE_MAX_OCC),
+            bloom_words=gene_index.host_bloom, bloom_bits=BLOOM_BITS,
+        )
+        _count("map.host_seed.native")
+        c_idx = np.searchsorted(contig_index.starts, cpos, side="right") - 1
+        anchors = (
+            tm.seq_indices[ti].astype(np.int64),
+            tm.positions[ti].astype(np.int64),
+            c_idx.astype(np.int64),
+            (cpos - contig_index.starts[c_idx]).astype(np.int64),
+            np.where(tm.strands[ti] == cstrand.astype(bool), 1, -1).astype(np.int64),
+        )
+    except ImportError:
+        _count("map.host_seed.numpy")
+        anchors = find_anchors(gene_index, contig_index.minimizers, params)
+    return chain_anchors(*anchors, gene_index.lengths, gene_index.k, params)
 
 
 MIN_DENSITY_CAP = 4  # minimizer capacity = L / MIN_DENSITY_CAP (true density ~2/(w+1))
@@ -1225,12 +1295,90 @@ def map_genes(
     return map_genes_batch(gene_index, [genome], gene_names, params)[0]
 
 
+def _map_genes_host_seeded(
+    gene_index: GeneIndex, genomes: list, indexes: list,
+    gene_names: tuple[str, ...], params: MapperParams,
+) -> list[Alignments]:
+    r"""Host-seeded mapping: C scan+match + host chaining, device DP sweeps.
+
+    The seed/chain halves run on the host (typically pre-computed by the
+    ingest pool — ``ci._cache["host_chains"]`` — so they fully overlap the
+    previous batch's device compute), and the device spends its cycles on the
+    banded-SWG extension sweep alone.  Versus the device-scan path this
+    removes the scan/match/chain stages (~0.46 s of serialized-gather-bound
+    device time per 16-genome batch) and shrinks the per-genome H2D from the
+    1.33 MB packed stream to the ~60 KB of DP problem windows.  Anchor sets
+    are bit-identical between the two modes (``tests/test_host_seed.py``).
+    """
+    from kaptive_tpu.core.pairwise import PairwiseAlignments
+    from kaptive_tpu.utils.metrics import count as _count
+    from kaptive_tpu.utils.profiling import phase_timer
+
+    n_genomes = len(genomes)
+    with phase_timer("map.host_seed"):
+        all_chains: list[dict | None] = []
+        for ci in indexes:
+            chains = ci._cache.get("host_chains")
+            if chains is None:
+                chains = host_seed_chains(gene_index, ci, params)
+            else:
+                _count("map.host_seed.preseeded")
+            all_chains.append(chains if chains and len(chains["gene"]) else None)
+    with phase_timer("map.chain_host"):
+        all_problems = [
+            build_extension_problems(ch, gene_index, ci, params) if ch is not None else None
+            for ch, ci in zip(all_chains, indexes)
+        ]
+    live = [p for p in all_problems if p is not None]
+    if not live:
+        return [Alignments.empty() for _ in range(n_genomes)]
+    merged = dict(
+        q_codes=np.concatenate([p["q_codes"] for p in live]),
+        q_lengths=np.concatenate([p["q_lengths"] for p in live]).astype(np.int32),
+        t_codes=np.concatenate([p["t_codes"] for p in live]),
+        t_lengths=np.concatenate([p["t_lengths"] for p in live]).astype(np.int32),
+        offsets=np.concatenate([p["offsets"] for p in live]).astype(np.int32),
+        k_locals=np.concatenate([p["k_locals"] for p in live]).astype(np.int32),
+    )
+    from kaptive_tpu.core.collections import cumulative_offsets
+
+    merged["q_offsets"] = cumulative_offsets(merged["q_lengths"])
+    merged["t_offsets"] = cumulative_offsets(merged["t_lengths"])
+    with phase_timer("map.extension_dp"):
+        cigars_all = None
+        if params.emit_cigars:
+            res, cigars_all = _run_extension_dp(merged, emit_cigars=True)
+        else:
+            res = _run_extension_dp(merged, lattice=params.lattice)
+    counts = [len(p["q_lengths"]) if p is not None else 0 for p in all_problems]
+    bounds = np.cumsum([0] + counts)
+    results: list[Alignments] = []
+    for b in range(n_genomes):
+        if all_problems[b] is None:
+            results.append(Alignments.empty())
+            continue
+        sl = slice(bounds[b], bounds[b + 1])
+        res_b = PairwiseAlignments(
+            res.scores[sl], res.matches[sl], res.mismatches[sl], res.gaps[sl],
+            res.q_starts[sl], res.q_ends[sl], res.t_starts[sl], res.t_ends[sl],
+        )
+        results.append(
+            _alignments_from_extension(
+                all_chains[b], res_b, all_problems[b]["t_lo"], all_problems[b]["glen"],
+                gene_index, genomes[b], indexes[b], gene_names, params,
+                cigars=cigars_all[sl] if cigars_all is not None else None,
+            )
+        )
+    return results
+
+
 def map_genes_batch(
     gene_index: GeneIndex,
     genomes: list,
     gene_names: tuple[str, ...],
     params: MapperParams | None = None,
     mesh=None,
+    seed_mode: str | None = None,
 ) -> list[Alignments]:
     r"""Map the DB gene set against a batch of assemblies with amortised dispatches.
 
@@ -1260,6 +1408,8 @@ def map_genes_batch(
     # form — and the ingest threads pre-upload + block so the transfer of the
     # NEXT batch overlaps the current batch's compute.
     single_dev = mesh is None or int(mesh.devices.size) <= 1
+    if single_dev and resolve_seed_mode(seed_mode) == "host":
+        return _map_genes_host_seeded(gene_index, genomes, indexes, gene_names, params)
     with phase_timer("map.pack_upload"):
         from kaptive_tpu.utils.metrics import count as _count
 

@@ -20,7 +20,7 @@ from kaptive_tpu.core.genome import GenomeAssembly
 
 
 def _load_and_index(
-    path: str | Path | IO[bytes], multi_device: bool = False
+    path: str | Path | IO[bytes], multi_device: bool = False, pre_seed=None
 ) -> GenomeAssembly:
     from kaptive_tpu.utils.profiling import phase_timer
 
@@ -31,6 +31,13 @@ def _load_and_index(
     with phase_timer("ingest.parse_pack"):
         ga = GenomeAssembly.ensure(path)
         ga.get_minimizer_index()  # encode + pack on the ingest thread
+        if pre_seed is not None:
+            # Host-seeded mapping: run the C scan+match + chaining here on
+            # the pool so the mapping phase finds the chains ready and the
+            # packed genome never crosses the tunnel at all.
+            ci = ga.minimizer_index
+            ci._cache["host_chains"] = pre_seed(ci)
+            return ga
         from kaptive_tpu.ops.mapper import (
             _device_inputs,
             _device_inputs_sparse,
@@ -64,6 +71,7 @@ def stream_batches(
     prefetch_batches: int = 1,
     max_workers: int | None = None,
     multi_device: bool = False,
+    pre_seed=None,
 ) -> Iterator[list[GenomeAssembly]]:
     r"""Yield fully-ingested assembly batches, prefetching ahead of the consumer."""
     genome_list = list(genomes)
@@ -92,14 +100,14 @@ def stream_batches(
         pending = []
         for gi in range(min(prefetch_batches + 1, len(groups))):
             pending.append(
-                [pool.submit(_load_and_index, g, multi_device) for g in groups[gi]]
+                [pool.submit(_load_and_index, g, multi_device, pre_seed) for g in groups[gi]]
             )
         next_submit = len(pending)
         for _ in range(len(groups)):
             futures = pending.pop(0)
             if next_submit < len(groups):
                 pending.append(
-                    [pool.submit(_load_and_index, g, multi_device) for g in groups[next_submit]]
+                    [pool.submit(_load_and_index, g, multi_device, pre_seed) for g in groups[next_submit]]
                 )
                 next_submit += 1
             yield [f.result() for f in futures]
@@ -139,9 +147,18 @@ def stream_type(
     """
     mesh = getattr(serotyper, "mesh", None)
     multi = mesh is not None and int(mesh.devices.size) > 1
+    pre_seed = None
+    if not multi:
+        from kaptive_tpu.ops.mapper import host_seed_chains, resolve_seed_mode
+
+        if resolve_seed_mode() == "host":
+            gene_index = serotyper._db.gene_index
+            mp = serotyper.mapper_params
+            gene_index.host_bloom  # build once before the pool fans out
+            pre_seed = lambda ci: host_seed_chains(gene_index, ci, mp)
     batches = stream_batches(
         genomes, batch_size, prefetch_batches, max_workers=max_workers,
-        multi_device=multi,
+        multi_device=multi, pre_seed=pre_seed,
     )
     with ThreadPoolExecutor(max_workers=1) as device_stage:
         pending = None  # (future over map_batch,) for the batch ahead

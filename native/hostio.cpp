@@ -145,4 +145,127 @@ int64_t build_contig_stream(const uint8_t* seq, const int64_t* offsets,
     return n_exc;
 }
 
+// Host seeding kernel: minimizer scan + sorted-table match in one C pass.
+//
+// Mirrors kaptive_tpu/ops/minimizer.py::minimizer_scan_host exactly (rolling
+// 2-bit packed canonical k-mers, murmur3 32-bit finalizer, w-window minimum
+// with leftmost-on-tie, invalid-base masking) and then expands each selected
+// minimizer against the sorted gene-table hash array (lower/upper bound,
+// occurrence count capped at max_occ) — the host half of the mapper's
+// seed stage, so ingest threads can hand the device pre-seeded chains and the
+// TPU spends its cycles on the DP sweeps instead of the gather-bound match.
+//
+//   codes:  [L] uint8 base codes (0-3 valid, >=4 sentinel), contig stream
+//   table:  [T] uint32 sorted ascending canonical-minimizer hashes
+//   out_ti / out_cpos / out_cstrand: [cap_out] anchor rows
+//     (table row index, flat contig-stream position, contig strand bit)
+//   out_counts: [2] -> {n_minimizers, n_candidates}
+// Returns the total anchor count, which may exceed cap_out (only the first
+// cap_out rows are written; callers treat overflow as "redo with a larger
+// buffer" — the count is exact either way).
+//   bloom: optional [1 << (bloom_bits - 5)] uint32 membership bitmap over the
+//     table hashes (bit hash & (2^bloom_bits - 1)); NULL disables the gate.
+//     One in-memory bit test replaces two binary searches for the ~99.5% of
+//     genome minimizers that miss the gene table.
+int64_t seed_anchors(const uint8_t* codes, int64_t L, int32_t k, int32_t w,
+                     const uint32_t* table, int64_t T,
+                     const uint32_t* bloom, int32_t bloom_bits,
+                     int32_t max_occ, int64_t cap_out,
+                     int32_t* out_ti, int32_t* out_cpos, uint8_t* out_cstrand,
+                     int64_t* out_counts) {
+    out_counts[0] = 0;
+    out_counts[1] = 0;
+    const int64_t nk = L - (int64_t)k + 1;   // k-mer start positions
+    const int64_t nw = nk - (int64_t)w + 1;  // window start positions
+    if (nk <= 0 || nw <= 0 || k > 16 || w < 1) return 0;
+
+    const uint32_t MAXU = 0xFFFFFFFFu;
+    const uint32_t mask = (k < 16) ? ((1u << (2 * k)) - 1) : MAXU;
+    const int rev_shift = 2 * (k - 1);
+
+    // Circular lookbacks over the last w k-mer starts + monotonic deque of
+    // candidate minima (strictly-greater pops keep the earliest on ties,
+    // matching numpy's `cand < best` leftmost-on-tie scan).  The deque is a
+    // ring: head/tail grow without bound, storage wraps modulo its capacity.
+    int64_t ring = 1;  // power-of-two ring capacity >= w + 2 (cheap & masking)
+    while (ring < (int64_t)w + 2) ring <<= 1;
+    const int64_t rmask = ring - 1;
+    uint32_t* win_hash = new uint32_t[ring];
+    uint8_t* win_strand = new uint8_t[ring];
+    int64_t* dq = new int64_t[ring];
+    int64_t dq_head = 0, dq_tail = 0;  // [head, tail)
+
+    uint32_t fwd = 0, rev = 0;
+    int64_t last_bad = -1;
+    int64_t last_emit = -1;  // dedupe: window fronts are non-decreasing
+    int64_t n_min = 0, n_cand = 0, n_anch = 0;
+
+    for (int64_t i = 0; i < L; i++) {
+        uint32_t c = codes[i];
+        if (c >= 4) { last_bad = i; c = 0; }
+        fwd = ((fwd << 2) | c) & mask;
+        rev = (rev >> 2) | ((3u - c) << rev_shift);
+        const int64_t p = i - k + 1;
+        if (p < 0) continue;
+        uint32_t h = MAXU;
+        uint8_t strand = 1;
+        if (last_bad < p) {
+            uint32_t x = fwd < rev ? fwd : rev;
+            strand = (uint8_t)(fwd <= rev);
+            x ^= x >> 16; x *= 0x85EBCA6Bu;
+            x ^= x >> 13; x *= 0xC2B2AE35u;
+            x ^= x >> 16;
+            h = x;
+        }
+        win_hash[p & rmask] = h;
+        win_strand[p & rmask] = strand;
+        // Deque push: drop strictly-greater tail candidates.
+        while (dq_tail > dq_head && win_hash[dq[(dq_tail - 1) & rmask] & rmask] > h) dq_tail--;
+        dq[dq_tail & rmask] = p;
+        dq_tail++;
+        const int64_t s = p - w + 1;  // window of k-mer starts [s, s+w)
+        if (s < 0 || s >= nw) continue;
+        while (dq[dq_head & rmask] < s) dq_head++;
+        const int64_t best = dq[dq_head & rmask];
+        if (win_hash[best & rmask] == MAXU || best == last_emit) continue;
+        last_emit = best;
+        n_min++;
+        const uint32_t bh = win_hash[best & rmask];
+        if (bloom) {  // membership gate: one bit test per minimizer
+            const uint32_t bit = bh & ((1u << bloom_bits) - 1);
+            if (!((bloom[bit >> 5] >> (bit & 31)) & 1)) continue;
+        }
+        // Sorted-table lookup: [lo, hi) = run of this hash.
+        int64_t lo = 0, hi = T;
+        while (lo < hi) {
+            const int64_t mid = (lo + hi) >> 1;
+            if (table[mid] < bh) lo = mid + 1; else hi = mid;
+        }
+        if (lo >= T || table[lo] != bh) continue;
+        int64_t hi2 = lo, top = T;
+        while (hi2 < top) {  // upper bound
+            const int64_t mid = (hi2 + top) >> 1;
+            if (table[mid] <= bh) hi2 = mid + 1; else top = mid;
+        }
+        n_cand++;
+        int64_t cnt = hi2 - lo;
+        if (cnt > max_occ) cnt = max_occ;
+        const uint8_t bstrand = win_strand[best & rmask];
+        for (int64_t j = 0; j < cnt; j++) {
+            if (n_anch < cap_out) {
+                out_ti[n_anch] = (int32_t)(lo + j);
+                out_cpos[n_anch] = (int32_t)best;
+                out_cstrand[n_anch] = bstrand;
+            }
+            n_anch++;
+        }
+    }
+    delete[] win_hash;
+    delete[] win_strand;
+    delete[] dq;
+    out_counts[0] = n_min;
+    out_counts[1] = n_cand;
+    return n_anch;
+}
+
 }  // extern "C"
