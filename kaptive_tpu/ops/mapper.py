@@ -242,10 +242,11 @@ def resolve_seed_mode(requested: str | None = None) -> str:
             return "device"
     except ImportError:
         return "device"
-    try:
-        return "device" if jax.default_backend() == "cpu" else "host"
-    except Exception:
-        return "device"
+    from kaptive_tpu.ops.scan_pallas import default_device_is_tpu
+
+    # default_device_is_tpu honours a pinned jax_default_device (the test
+    # environment pins CPU while a TPU backend stays registered).
+    return "host" if default_device_is_tpu() else "device"
 
 
 def host_seed_chains(gene_index: GeneIndex, contig_index, params: MapperParams) -> dict:

@@ -184,6 +184,13 @@ class Type(Command):
             "streaming genomes; compiled programs persist in the XLA cache so later "
             "runs skip the compile cost entirely (default: False)",
         )
+        opts.add_argument(
+            "--seed-mode", choices=("auto", "host", "device"), default=None, metavar="",
+            help="Where the mapper's seed/chain stages run: 'host' = native C scan "
+            "on the ingest pool (less PCIe traffic + device time), 'device' = fully "
+            "device-resident Pallas pipeline, 'auto' = host on accelerator backends "
+            "(default: auto; both modes produce identical results)",
+        )
 
     def run(self, args: argparse.Namespace) -> None:
         self.cli.msg(f"💽 Loading database {args.database}...")
@@ -209,6 +216,8 @@ class Type(Command):
 
         if args.profile:
             os.environ["KAPTIVE_PROFILE"] = "1"
+        if args.seed_mode:
+            os.environ["KAPTIVE_SEED_MODE"] = args.seed_mode
         from kaptive_tpu.parallel.pipeline import auto_batch_size
 
         batch_size = args.batch_size or auto_batch_size()
