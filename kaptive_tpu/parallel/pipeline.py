@@ -89,13 +89,18 @@ def stream_batches(
     groups = [genome_list[lo:hi] for lo, hi in zip(bounds, bounds[1:])]
     if not groups:
         return
-    # Per-genome ingest is ~70 ms of GIL-releasing numpy plus a BLOCKED H2D
-    # wait that can reach ~0.6 s on a contended tunnel — the waits overlap
-    # freely, so the pool is sized for them (16 threads sustain ~20+ asm/s
-    # of ingest even at worst-case transfer queueing; an 8-wide pool was the
-    # pipeline's rate limiter on the shared chip).
+    # Pool sizing differs by mode.  Device-seeded ingest is ~70 ms of
+    # GIL-releasing numpy plus a BLOCKED H2D wait that can reach ~0.6 s on a
+    # contended tunnel — the waits overlap freely, so the pool is sized for
+    # them (16 threads).  Host-seeded ingest (pre_seed set) is pure CPU work
+    # with no blocking waits: more threads than cores only adds scheduler
+    # churn, so size to the machine.
     if max_workers is None:
-        max_workers = 16
+        import os as _os
+
+        max_workers = (
+            max(2, min(16, _os.cpu_count() or 8)) if pre_seed is not None else 16
+        )
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         pending = []
         for gi in range(min(prefetch_batches + 1, len(groups))):
