@@ -119,7 +119,7 @@ class Cli:
 
     def __init__(self, description: str = "", epilog: str = "") -> None:
         # KAPTIVE_VERBOSE pre-arms verbosity (useful under wrappers); -V wins.
-        self.verbose = bool(os.environ.get("KAPTIVE_VERBOSE"))
+        self.verbose = os.environ.get("KAPTIVE_VERBOSE", "").lower() not in ("", "0", "false")
         self._open_handles: list[IO] = []
         self.global_parser = HelpOnErrorParser(add_help=False)
         self.global_parser.add_argument(

@@ -61,15 +61,25 @@ class DatabaseMetadata:
     def __repr__(self) -> str:
         return f"DatabaseMetadata({self._fields!r})"
 
-    # Pickled caches may hold either this mapping form or the older slotted
-    # per-field form ((None, slot_dict) tuples) — accept both on restore.
+    # Pickled caches may hold this mapping form, the older frozen-slotted
+    # dataclass form (a positional LIST of field values, the order below was
+    # that dataclass's declaration order), or a generic (dict, slot_dict)
+    # two-tuple — accept all three on restore.
+    _LEGACY_ORDER = (
+        "name", "keyword", "genbank", "organism", "taxon", "antigen",
+        "pathway", "version", "id_threshold", "doi", "owner", "repo",
+        "branch", "contact", "phenotype_logic", "antigenic_units",
+    )
+
     def __getstate__(self) -> dict:
         return self._fields
 
     def __setstate__(self, state: Any) -> None:
-        if isinstance(state, tuple):
-            state = {**(state[0] or {}), **(state[1] or {})}
-        self._fields = state
+        if isinstance(state, tuple) and len(state) == 2 and isinstance(state[1], dict):
+            state = {**(state[0] or {}), **state[1]}
+        elif isinstance(state, (list, tuple)):
+            state = dict(zip(self._LEGACY_ORDER, state))
+        self._fields = dict(state)
 
     def to_dict(self) -> dict:
         return dict(self._fields)

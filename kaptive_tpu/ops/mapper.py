@@ -1319,11 +1319,19 @@ def _map_genes_host_seeded(
     with phase_timer("map.host_seed"):
         all_chains: list[dict | None] = []
         for ci in indexes:
-            chains = ci._cache.get("host_chains")
+            # Pre-seeded entries are keyed by (gene_index, params): a
+            # ContigIndex reused against a different database or tunables
+            # must re-seed, not consume chains whose gene rows point into
+            # another table.
+            cached = ci._cache.get("host_chains")
+            chains = None
+            if cached is not None:
+                seed_gi, seed_params, seed_chains = cached
+                if seed_gi is gene_index and seed_params == params:
+                    chains = seed_chains
+                    _count("map.host_seed.preseeded")
             if chains is None:
                 chains = host_seed_chains(gene_index, ci, params)
-            else:
-                _count("map.host_seed.preseeded")
             all_chains.append(chains if chains and len(chains["gene"]) else None)
     with phase_timer("map.chain_host"):
         all_problems = [

@@ -34,7 +34,9 @@ def _load_and_index(
         if pre_seed is not None:
             # Host-seeded mapping: run the C scan+match + chaining here on
             # the pool so the mapping phase finds the chains ready and the
-            # packed genome never crosses the tunnel at all.
+            # packed genome never crosses the tunnel at all.  The entry is
+            # keyed by (gene_index, params) — the consumer re-seeds on a
+            # mismatch rather than read chains built for another table.
             ci = ga.minimizer_index
             ci._cache["host_chains"] = pre_seed(ci)
             return ga
@@ -160,7 +162,7 @@ def stream_type(
             gene_index = serotyper._db.gene_index
             mp = serotyper.mapper_params
             gene_index.host_bloom  # build once before the pool fans out
-            pre_seed = lambda ci: host_seed_chains(gene_index, ci, mp)
+            pre_seed = lambda ci: (gene_index, mp, host_seed_chains(gene_index, ci, mp))
     batches = stream_batches(
         genomes, batch_size, prefetch_batches, max_workers=max_workers,
         multi_device=multi, pre_seed=pre_seed,

@@ -121,6 +121,35 @@ def test_metadata_semver():
         DatabaseMetadata.from_dict("not a dict")
 
 
+def test_metadata_restores_legacy_pickle_states():
+    """Caches written by the former frozen-slotted-dataclass DatabaseMetadata
+    pickle their state as a positional list of field values (CPython 3.12
+    ``_dataclass_getstate``); restoring one must yield working attributes."""
+    legacy_values = [
+        "LegacyDB", "legacy", "x.gbk", "Testus", 5, "CPS", "Wzy", "2.1.0",
+        82.5, ["10.1/x"], "own", "rep", "main", {"T": "t@e.org"}, {}, {},
+    ]
+    meta = DatabaseMetadata.__new__(DatabaseMetadata)
+    meta.__setstate__(legacy_values)
+    assert meta.name == "LegacyDB" and meta.taxon == 5
+    assert meta.parsed_version == (2, 1, 0)
+    assert meta.antigenic_units == {}
+    # Generic slotted two-tuple form also restores.
+    meta2 = DatabaseMetadata.__new__(DatabaseMetadata)
+    meta2.__setstate__((None, {"name": "X", "version": "1.0"}))
+    assert meta2.name == "X"
+    # And a modern mapping state round-trips through pickle itself.
+    import pickle
+
+    data = dict(
+        name="x", keyword="x", genbank="x.gbk", organism="o", taxon=1, antigen="a",
+        pathway="p", version="3.10.2", id_threshold=80.0, doi=[], owner="o", repo="r",
+        branch="main", contact={},
+    )
+    meta3 = pickle.loads(pickle.dumps(DatabaseMetadata.from_dict(data)))
+    assert meta3.version == "3.10.2" and meta3.keyword == "x"
+
+
 def test_missing_toml_raises(tmp_path, rng):
     gbk, _ = make_synthetic_db(tmp_path, rng)
     gbk.with_suffix(".toml").unlink()

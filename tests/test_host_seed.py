@@ -171,6 +171,32 @@ def test_host_seed_chains_equal_fallback_anchors(panel, monkeypatch):
             np.testing.assert_array_equal(native_chains[key], ref_chains[key], err_msg=key)
 
 
+def test_preseed_cache_keyed_by_database(panel, monkeypatch):
+    """A ContigIndex pre-seeded against one database must NOT feed its chains
+    to a Serotyper built from a different database — stale entries re-seed."""
+    db, genomes = panel
+    from kaptive_tpu.core.genome import GenomeAssembly
+    from kaptive_tpu.ops.mapper import MapperParams, host_seed_chains, map_genes_batch
+
+    gi = db.gene_index
+    params = MapperParams()
+    ga = GenomeAssembly.from_stream(io.BytesIO(genomes[0][1]), "g")
+    ci = ga.get_minimizer_index()
+    fresh = map_genes_batch(gi, [ga], tuple(str(i) for i in range(len(db.genes))),
+                            params, seed_mode="host")[0]
+    # Poison the cache with chains keyed to a DIFFERENT gene_index object.
+    decoy = object()
+    ci._cache["host_chains"] = (decoy, params, {"gene": np.array([0])})
+    redo = map_genes_batch(gi, [ga], tuple(str(i) for i in range(len(db.genes))),
+                           params, seed_mode="host")[0]
+    assert len(redo) == len(fresh) and np.array_equal(redo.scores, fresh.scores)
+    # A correctly-keyed entry IS consumed.
+    ci._cache["host_chains"] = (gi, params, host_seed_chains(gi, ci, params))
+    again = map_genes_batch(gi, [ga], tuple(str(i) for i in range(len(db.genes))),
+                            params, seed_mode="host")[0]
+    assert np.array_equal(again.scores, fresh.scores)
+
+
 def test_stream_type_preseeds_host_chains(panel, monkeypatch):
     """stream_type in host mode computes chains on the ingest pool (the mapping
     phase consumes the pre-seeded cache) and yields correct calls."""
