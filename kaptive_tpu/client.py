@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import gzip
 import json
-import mimetypes
 import secrets
 from pathlib import Path
 from typing import Any
@@ -25,6 +24,8 @@ class KaptiveWebClientError(Exception):
 
 
 def _mime_of(path: str) -> str:
+    import mimetypes
+
     guessed, _ = mimetypes.guess_type(path)
     return guessed or "application/octet-stream"
 
@@ -64,7 +65,9 @@ def _http_detail(exc: _uerr.HTTPError) -> str:
 class KaptiveWebClient:
     r"""Kaptive-Web API session: holds the key + root URL, issues typed calls."""
 
-    def __init__(self, api_key: str, base_url: str = "http://127.0.0.1:8000") -> None:
+    def __init__(
+        self, api_key: str, base_url: str = "http://127.0.0.1:8000"
+    ) -> None:
         root = base_url.rstrip("/")
         self.base_url = root if root.endswith("/api") else f"{root}/api"
         self.api_key = api_key
@@ -89,8 +92,9 @@ class KaptiveWebClient:
             raise KaptiveWebClientError(f"HTTP {exc.code}: {_http_detail(exc)}") from None
         except _uerr.URLError as exc:
             raise KaptiveWebClientError(
-                f"Network error: Failed to connect to {self.base_url}. "
-                f"Ensure you have an active internet connection. ({exc.reason})"
+                "Network error: Failed to connect to "
+                f"{self.base_url}. Ensure you have an active internet "
+                f"connection. ({exc.reason})"
             ) from None
 
     def submit_genomes(self, species: str, files: list[str]) -> str:
