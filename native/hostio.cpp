@@ -17,6 +17,14 @@
 #include <cstddef>
 #include <cstring>
 
+// The seeding kernel carries AVX-512 fast paths (16 minimizer lanes per
+// iteration); every vector loop has a scalar twin and the build works on any
+// target, so the guard is purely a compile-time feature test.
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#include <immintrin.h>
+#define KT_AVX512 1
+#endif
+
 extern "C" {
 
 // Line framing via memchr (SIMD in libc): returns the line's exclusive end.
@@ -209,62 +217,183 @@ int64_t seed_anchors(const uint8_t* codes, int64_t L, int32_t k, int32_t w,
     const uint32_t MAXU = 0xFFFFFFFFu;
     const uint64_t MAXK = ~(uint64_t)0;
     const uint32_t mask = (k < 16) ? ((1u << (2 * k)) - 1) : MAXU;
-    const int rev_shift = 2 * (k - 1);
 
-    // Chunked van Herk / Gil-Werman sliding minimum over packed
-    // (hash << 32 | position) keys: the u64 min gives the window's smallest
-    // hash AND breaks ties on the smaller (leftmost) position in the same
-    // comparison — matching numpy's `cand < best` scan — with ~3 branch-free
-    // compares per element instead of a branchy monotonic deque (the deque
-    // formulation measured ~3x slower; this loop auto-vectorizes).
+    // Pipeline per 32K-window chunk, every stage branch-free over dense data:
+    //   pack:  codes -> local 2-bit buffer (vector maddubs path; invalid
+    //          positions recorded sparsely and zero-packed)
+    //   fill:  per-position canonical-k-mer keys by EXTRACTION from the
+    //          packed buffer (one u64 covers 16 consecutive k-mers for
+    //          k <= 16: 16 + 15 bases = 62 bits), so lanes are independent —
+    //          unlike a rolling-register scan, which serializes the loop.
+    //          fwd = 2-bit-field reversal of the extracted word, rev = its
+    //          field-wise complement (e ^ mask): same hashes as the rolling
+    //          formulation, zero loop-carried state.
+    //   vh:    van Herk / Gil-Werman prefix+suffix mins over w-blocks of
+    //          (hash << 32 | position) keys; the u64 min breaks hash ties on
+    //          the leftmost position for free.
+    //   emit:  window minima -> distinct+valid byte mask -> u64-at-a-time
+    //          bit scan (window argmins are non-decreasing, so "new emit"
+    //          == "differs from previous window").  Each emitted minimizer
+    //          PREFETCHES its bloom word; by the time the match loop runs,
+    //          the random 16 MB-bitmap reads (the former hot spot: ~1M
+    //          cache misses/genome) have already landed in L2.
+    //   match: bloom-gated sorted-table lookup, unchanged semantics.
     const int64_t CHUNK = 1 << 15;  // window starts per block
-    const int64_t BUF = CHUNK + (int64_t)w;  // keys needed per block (w-1 carry)
+    const int64_t BUF = CHUNK + (int64_t)w + 8;
     uint64_t* key = new uint64_t[BUF];
     uint64_t* pre = new uint64_t[BUF];   // running min from w-block start
     uint64_t* suf = new uint64_t[BUF];   // running min to w-block end
     uint8_t* strd = new uint8_t[BUF];
+    uint64_t* mwin = new uint64_t[CHUNK + 8];    // per-window minima
+    uint8_t* dmask = new uint8_t[CHUNK + 8];     // distinct+valid emit mask
+    uint64_t* emitbuf = new uint64_t[CHUNK];     // distinct minimizer keys
+    const int64_t PBYTES = (CHUNK + w + k + 64) / 4 + 24;
+    uint8_t* lp = new uint8_t[PBYTES];           // chunk-local packed codes
+    int64_t* badbuf = new int64_t[CHUNK + w + k + 64];  // invalid positions
 
-    uint32_t fwd = 0, rev = 0;
-    int64_t last_bad = -1;
-    int64_t scan_i = 0;      // next code index for the rolling registers
-    int64_t last_emit = -1;  // dedupe: window argmins are non-decreasing
+    const int rsh = 32 - 2 * k;
     int64_t n_min = 0, n_cand = 0, n_anch = 0;
+    uint64_t carry_m = MAXK;  // previous chunk's last window minimum
 
     for (int64_t wstart = 0; wstart < nw; wstart += CHUNK) {
         const int64_t n_win = (nw - wstart < CHUNK) ? (nw - wstart) : CHUNK;
         const int64_t need = n_win + w - 1;  // k-mer starts [wstart, wstart+need)
-        // Carry the previous block's last w-1 keys to the front.
-        if (wstart > 0) {
-            for (int64_t j = 0; j < w - 1; j++) {
-                key[j] = key[CHUNK + j];
-                strd[j] = strd[CHUNK + j];
+        const int64_t base0 = wstart;
+        const int64_t nbases = need + k - 1;  // <= L - base0 by construction
+
+        // --- pack codes[base0 .. base0+nbases) to 2-bit, 4 codes/byte ---
+        int64_t nbad = 0;
+        {
+            const int64_t nb = (nbases + 3) / 4;
+            int64_t j = 0;
+#ifdef KT_AVX512
+            // 64 codes -> 16 packed bytes: u8 pair-combine (c0 + 4*c1),
+            // i16 pair-combine (p0 + 16*p1), narrow i32 -> i8.  A block
+            // containing any invalid code (rare: contig gaps, ambiguity
+            // codes) drops to one scalar block, then vector mode resumes.
+            const __m512i wm1 = _mm512_set1_epi16(0x0401);
+            const __m512i wm2 = _mm512_set1_epi32(0x00100001);
+            const __m512i inv = _mm512_set1_epi8(4);
+            while (j + 16 <= nb && 4 * j + 64 <= nbases) {
+                const int64_t p = base0 + 4 * j;
+                const __m512i c = _mm512_loadu_si512(codes + p);
+                if (_mm512_cmpge_epu8_mask(c, inv)) {
+                    for (int64_t je = j + 16; j < je; j++) {
+                        const int64_t q = base0 + 4 * j;
+                        uint8_t c0 = codes[q], c1 = codes[q + 1];
+                        uint8_t c2 = codes[q + 2], c3 = codes[q + 3];
+                        if ((c0 | c1 | c2 | c3) >= 4) {
+                            if (c0 >= 4) { badbuf[nbad++] = q;     c0 = 0; }
+                            if (c1 >= 4) { badbuf[nbad++] = q + 1; c1 = 0; }
+                            if (c2 >= 4) { badbuf[nbad++] = q + 2; c2 = 0; }
+                            if (c3 >= 4) { badbuf[nbad++] = q + 3; c3 = 0; }
+                        }
+                        lp[j] = (uint8_t)(c0 | (c1 << 2) | (c2 << 4) | (c3 << 6));
+                    }
+                    continue;
+                }
+                const __m512i pair = _mm512_maddubs_epi16(c, wm1);
+                const __m512i quad = _mm512_madd_epi16(pair, wm2);
+                _mm_storeu_si128((__m128i*)(lp + j), _mm512_cvtepi32_epi8(quad));
+                j += 16;
+            }
+#endif
+            for (; j < nb; j++) {
+                const int64_t p = base0 + 4 * j;
+                uint8_t c0 = (4 * j     < nbases) ? codes[p]     : 0;
+                uint8_t c1 = (4 * j + 1 < nbases) ? codes[p + 1] : 0;
+                uint8_t c2 = (4 * j + 2 < nbases) ? codes[p + 2] : 0;
+                uint8_t c3 = (4 * j + 3 < nbases) ? codes[p + 3] : 0;
+                if ((c0 | c1 | c2 | c3) >= 4) {
+                    if (c0 >= 4) { badbuf[nbad++] = p;     c0 = 0; }
+                    if (c1 >= 4) { badbuf[nbad++] = p + 1; c1 = 0; }
+                    if (c2 >= 4) { badbuf[nbad++] = p + 2; c2 = 0; }
+                    if (c3 >= 4) { badbuf[nbad++] = p + 3; c3 = 0; }
+                }
+                lp[j] = (uint8_t)(c0 | (c1 << 2) | (c2 << 4) | (c3 << 6));
+            }
+            for (int64_t jj = nb; jj < nb + 16; jj++) lp[jj] = 0;
+        }
+
+        // --- fill: independent per-position keys from the packed buffer ---
+        int64_t b = 0;
+#ifdef KT_AVX512
+        {
+            const __m512i sh_lo = _mm512_set_epi64(14, 12, 10, 8, 6, 4, 2, 0);
+            const __m512i sh_hi = _mm512_set_epi64(30, 28, 26, 24, 22, 20, 18, 16);
+            const __m512i vmask = _mm512_set1_epi32((int)mask);
+            const __m512i c3333 = _mm512_set1_epi32(0x33333333);
+            const __m512i c0f0f = _mm512_set1_epi32(0x0F0F0F0F);
+            const __m512i bswap_ctl = _mm512_broadcast_i32x4(
+                _mm_set_epi8(12, 13, 14, 15, 8, 9, 10, 11, 4, 5, 6, 7, 0, 1, 2, 3));
+            const __m512i mur1 = _mm512_set1_epi32((int)0x85EBCA6Bu);
+            const __m512i mur2 = _mm512_set1_epi32((int)0xC2B2AE35u);
+            const __m512i iota8 = _mm512_set_epi64(7, 6, 5, 4, 3, 2, 1, 0);
+            for (; b + 16 <= need; b += 16) {
+                uint64_t wrd;
+                memcpy(&wrd, lp + (b >> 2), 8);
+                const __m512i w8 = _mm512_set1_epi64((long long)wrd);
+                const __m256i e_lo = _mm512_cvtepi64_epi32(_mm512_srlv_epi64(w8, sh_lo));
+                const __m256i e_hi = _mm512_cvtepi64_epi32(_mm512_srlv_epi64(w8, sh_hi));
+                __m512i e = _mm512_inserti64x4(_mm512_castsi256_si512(e_lo), e_hi, 1);
+                e = _mm512_and_si512(e, vmask);
+                // reverse the 2-bit fields: pairs, nibbles, then bswap32
+                __m512i x = _mm512_or_si512(
+                    _mm512_slli_epi32(_mm512_and_si512(e, c3333), 2),
+                    _mm512_and_si512(_mm512_srli_epi32(e, 2), c3333));
+                x = _mm512_or_si512(
+                    _mm512_slli_epi32(_mm512_and_si512(x, c0f0f), 4),
+                    _mm512_and_si512(_mm512_srli_epi32(x, 4), c0f0f));
+                x = _mm512_shuffle_epi8(x, bswap_ctl);
+                const __m512i fwd = _mm512_srli_epi32(x, rsh);
+                const __m512i rev = _mm512_xor_si512(e, vmask);
+                __m512i h = _mm512_min_epu32(fwd, rev);
+                const __mmask16 le = _mm512_cmple_epu32_mask(fwd, rev);
+                _mm_storeu_si128((__m128i*)(strd + b),
+                    _mm512_cvtepi32_epi8(_mm512_maskz_set1_epi32(le, 1)));
+                h = _mm512_xor_si512(h, _mm512_srli_epi32(h, 16));
+                h = _mm512_mullo_epi32(h, mur1);
+                h = _mm512_xor_si512(h, _mm512_srli_epi32(h, 13));
+                h = _mm512_mullo_epi32(h, mur2);
+                h = _mm512_xor_si512(h, _mm512_srli_epi32(h, 16));
+                // key = (u64)hash << 32 | position
+                const __m512i pos_lo = _mm512_add_epi64(_mm512_set1_epi64(base0 + b), iota8);
+                const __m512i pos_hi = _mm512_add_epi64(pos_lo, _mm512_set1_epi64(8));
+                const __m512i h_lo = _mm512_slli_epi64(
+                    _mm512_cvtepu32_epi64(_mm512_castsi512_si256(h)), 32);
+                const __m512i h_hi = _mm512_slli_epi64(
+                    _mm512_cvtepu32_epi64(_mm512_extracti64x4_epi64(h, 1)), 32);
+                _mm512_storeu_si512(key + b, _mm512_or_si512(h_lo, pos_lo));
+                _mm512_storeu_si512(key + b + 8, _mm512_or_si512(h_hi, pos_hi));
             }
         }
-        // Fill new keys by continuing the sequential rolling scan.
-        const int64_t fill_from = (wstart > 0) ? w - 1 : 0;
-        const int64_t p_end = wstart + need;  // exclusive k-mer position bound
-        for (; scan_i < p_end + k - 1 && scan_i < L; scan_i++) {
-            uint32_t c = codes[scan_i];
-            if (c >= 4) { last_bad = scan_i; c = 0; }
-            fwd = ((fwd << 2) | c) & mask;
-            rev = (rev >> 2) | ((3u - c) << rev_shift);
-            const int64_t p = scan_i - k + 1;
-            if (p < wstart + fill_from) continue;
-            uint64_t kk = MAXK;
-            uint8_t strand = 1;
-            if (last_bad < p) {
-                uint32_t x = fwd < rev ? fwd : rev;
-                strand = (uint8_t)(fwd <= rev);
-                x ^= x >> 16; x *= 0x85EBCA6Bu;
-                x ^= x >> 13; x *= 0xC2B2AE35u;
-                x ^= x >> 16;
-                kk = ((uint64_t)x << 32) | (uint64_t)(uint32_t)p;
-            }
-            const int64_t b = p - wstart;
-            key[b] = kk;
-            strd[b] = strand;
+#endif
+        for (; b < need; b++) {
+            uint64_t wrd;
+            memcpy(&wrd, lp + (b >> 2), 8);
+            uint32_t e = (uint32_t)(wrd >> ((b & 3) * 2)) & mask;
+            uint32_t x = e;
+            x = ((x & 0x33333333u) << 2) | ((x >> 2) & 0x33333333u);
+            x = ((x & 0x0F0F0F0Fu) << 4) | ((x >> 4) & 0x0F0F0F0Fu);
+            x = __builtin_bswap32(x);
+            const uint32_t fwd = x >> rsh;
+            const uint32_t rev = e ^ mask;
+            uint32_t h = fwd < rev ? fwd : rev;
+            strd[b] = (uint8_t)(fwd <= rev);
+            h ^= h >> 16; h *= 0x85EBCA6Bu;
+            h ^= h >> 13; h *= 0xC2B2AE35u;
+            h ^= h >> 16;
+            key[b] = ((uint64_t)h << 32) | (uint64_t)(uint32_t)(base0 + b);
         }
-        // Van Herk prefix/suffix mins over w-aligned blocks of the buffer.
+        // Invalidate every k-mer overlapping an invalid base (sparse).
+        for (int64_t bi = 0; bi < nbad; bi++) {
+            const int64_t bad = badbuf[bi];
+            int64_t lo = bad - k + 1 - base0; if (lo < 0) lo = 0;
+            int64_t hi = bad + 1 - base0; if (hi > need) hi = need;
+            for (int64_t bb = lo; bb < hi; bb++) key[bb] = MAXK;
+        }
+
+        // --- van Herk prefix/suffix mins over w-aligned blocks ---
         for (int64_t b0 = 0; b0 < need; b0 += w) {
             const int64_t b1 = (b0 + w < need) ? b0 + w : need;
             uint64_t m = key[b0];
@@ -282,19 +411,58 @@ int64_t seed_anchors(const uint8_t* codes, int64_t L, int32_t k, int32_t w,
                 suf[j] = m;
             }
         }
-        // Window minima + match/emit for the sparse survivors.
+
+        // --- emit: window minima, distinct+valid mask, sparse bit scan ---
         for (int64_t i = 0; i < n_win; i++) {
             const uint64_t a = suf[i];
             const uint64_t bb = pre[i + w - 1];
-            const uint64_t m = bb < a ? bb : a;
-            if ((m >> 32) == (uint64_t)MAXU) continue;  // all-invalid window
-            const int64_t best = (int64_t)(uint32_t)m;
-            if (best == last_emit) continue;
-            last_emit = best;
-            n_min++;
+            mwin[i] = bb < a ? bb : a;
+        }
+        // Argmins are non-decreasing, so a window emits iff its minimum
+        // differs from the previous window's (equal keys <=> equal argmin
+        // position; an all-invalid window is MAXK and never valid).
+        dmask[0] = (uint8_t)((mwin[0] != carry_m) & ((mwin[0] >> 32) != (uint64_t)MAXU));
+        for (int64_t i = 1; i < n_win; i++) {
+            dmask[i] = (uint8_t)((mwin[i] != mwin[i - 1]) & ((mwin[i] >> 32) != (uint64_t)MAXU));
+        }
+        carry_m = mwin[n_win - 1];
+        int64_t ne = 0;
+        const uint32_t bmask = (1u << bloom_bits) - 1;
+        {
+            const int64_t n8 = n_win / 8;
+            for (int64_t g = 0; g < n8; g++) {
+                uint64_t wv;
+                memcpy(&wv, dmask + 8 * g, 8);
+                while (wv) {  // each set byte is one distinct minimizer
+                    const int j = __builtin_ctzll(wv) >> 3;
+                    wv &= wv - (((uint64_t)1) << (j * 8));
+                    const uint64_t m = mwin[8 * g + j];
+                    emitbuf[ne++] = m;
+                    if (bloom) {
+                        const uint32_t bit = (uint32_t)(m >> 32) & bmask;
+                        __builtin_prefetch(&bloom[bit >> 5], 0, 1);
+                    }
+                }
+            }
+            for (int64_t i = 8 * n8; i < n_win; i++) {
+                if (dmask[i]) {
+                    const uint64_t m = mwin[i];
+                    emitbuf[ne++] = m;
+                    if (bloom) {
+                        const uint32_t bit = (uint32_t)(m >> 32) & bmask;
+                        __builtin_prefetch(&bloom[bit >> 5], 0, 1);
+                    }
+                }
+            }
+        }
+        n_min += ne;
+
+        // --- match: bloom gate (words prefetched above) + table lookup ---
+        for (int64_t j = 0; j < ne; j++) {
+            const uint64_t m = emitbuf[j];
             const uint32_t bh = (uint32_t)(m >> 32);
             if (bloom) {  // membership gate: one bit test per minimizer
-                const uint32_t bit = bh & ((1u << bloom_bits) - 1);
+                const uint32_t bit = bh & bmask;
                 if (!((bloom[bit >> 5] >> (bit & 31)) & 1)) continue;
             }
             // Sorted-table lookup: [lo, hi) = run of this hash.
@@ -312,10 +480,11 @@ int64_t seed_anchors(const uint8_t* codes, int64_t L, int32_t k, int32_t w,
             n_cand++;
             int64_t cnt = hi2 - lo;
             if (cnt > max_occ) cnt = max_occ;
+            const int64_t best = (int64_t)(uint32_t)m;
             const uint8_t bstrand = strd[best - wstart];
-            for (int64_t j = 0; j < cnt; j++) {
+            for (int64_t q = 0; q < cnt; q++) {
                 if (n_anch < cap_out) {
-                    out_ti[n_anch] = (int32_t)(lo + j);
+                    out_ti[n_anch] = (int32_t)(lo + q);
                     out_cpos[n_anch] = (int32_t)best;
                     out_cstrand[n_anch] = bstrand;
                 }
@@ -327,6 +496,11 @@ int64_t seed_anchors(const uint8_t* codes, int64_t L, int32_t k, int32_t w,
     delete[] pre;
     delete[] suf;
     delete[] strd;
+    delete[] mwin;
+    delete[] dmask;
+    delete[] emitbuf;
+    delete[] lp;
+    delete[] badbuf;
     out_counts[0] = n_min;
     out_counts[1] = n_cand;
     return n_anch;
