@@ -82,6 +82,38 @@ def test_native_seed_anchors_matches_numpy_scan():
             assert np.array_equal(cstrand.astype(bool), strands[exp_cpos])
 
 
+def test_native_seed_anchors_chunk_boundaries():
+    """Deterministic boundary panel for the vectorized kernel: stream lengths
+    straddling the 32K-window chunk size and the 16-lane fill groups, plus
+    invalid-base runs placed exactly at chunk seams (where the packed-buffer
+    carry and the scalar pack-resume path engage)."""
+    hostio = _native()
+    rng = np.random.default_rng(17)
+    CHUNK = 1 << 15
+    k, w, max_occ = 15, 10, 64
+    from kaptive_tpu.ops.minimizer import minimizer_scan_host
+
+    for L in (CHUNK, CHUNK + 1, CHUNK - 1, 2 * CHUNK + 7, 4 * CHUNK - 9, CHUNK + k + w):
+        codes = rng.integers(0, 4, L).astype(np.uint8)
+        # invalid runs at the seams and mid-lane: exercises badbuf invalidation
+        # across group boundaries and the dense-invalid scalar pack fallback
+        for s, n in ((CHUNK - 3, 7), (2 * CHUNK - 1, 2), (5, 1), (L - 4, 3), (1000, 130)):
+            if s + n <= L:
+                codes[s : s + n] = 4
+        sel, hashes, _ = minimizer_scan_host(codes, k, w)
+        mh = hashes[np.flatnonzero(sel)]
+        table = np.sort(mh[::3])
+        pos, exp_ti, exp_cpos, strands, n_cand = _numpy_anchor_oracle(
+            codes, k, w, table, max_occ
+        )
+        ti, cpos, cstrand, n_min, nc = hostio.seed_anchors(codes, k, w, table, max_occ)
+        assert n_min == len(pos), L
+        assert nc == n_cand, L
+        assert np.array_equal(ti, exp_ti), L
+        assert np.array_equal(cpos, exp_cpos), L
+        assert np.array_equal(cstrand.astype(bool), strands[exp_cpos]), L
+
+
 def test_native_seed_anchors_edge_cases():
     hostio = _native()
     # Shorter than k / all-sentinel streams produce nothing, no crash.
