@@ -148,13 +148,59 @@ int64_t build_contig_stream(const uint8_t* seq, const int64_t* offsets,
                             uint8_t* flat_out, uint8_t* packed_out,
                             int32_t* exc_out, int64_t exc_cap) {
     const uint8_t* lut = dna_lut();
+#if defined(KT_AVX512) && defined(__AVX512VBMI__)
+    // 64-entry vpermb LUT over (byte & 63): the valid alphabet lives in the
+    // ASCII letter range (byte & 0xC0) == 0x40, where & 63 separates upper
+    // from lower case; every other slot decodes to 0xFF (= exception).
+    alignas(64) static uint8_t lut64[64];
+    static bool lut64_init = false;
+    if (!lut64_init) {
+        memset(lut64, 0xFF, sizeof(lut64));
+        lut64['A' & 63] = 0; lut64['a' & 63] = 0;
+        lut64['C' & 63] = 1; lut64['c' & 63] = 1;
+        lut64['G' & 63] = 2; lut64['g' & 63] = 2;
+        lut64['T' & 63] = 3; lut64['t' & 63] = 3;
+        lut64['U' & 63] = 3; lut64['u' & 63] = 3;
+        lut64_init = true;
+    }
+    const __m512i vlut = _mm512_load_si512(lut64);
+    const __m512i vC0 = _mm512_set1_epi8((char)0xC0);
+    const __m512i v40 = _mm512_set1_epi8(0x40);
+    const __m512i vFF = _mm512_set1_epi8((char)0xFF);
+    const __m512i wm1 = _mm512_set1_epi16(0x0401);
+    const __m512i wm2 = _mm512_set1_epi32(0x00100001);
+#endif
     int64_t pos = 0;
     int64_t n_exc = 0;
     uint8_t acc = 0;
     for (int64_t s = 0; s < n_seqs; s++) {
         const uint8_t* src = seq + offsets[s];
         const int64_t len = lengths[s];
-        for (int64_t i = 0; i < len; i++) {
+        for (int64_t i = 0; i < len; ) {
+#if defined(KT_AVX512) && defined(__AVX512VBMI__)
+            // Vector fast path: 64 valid bases -> 64 flat codes + 16 packed
+            // bytes per iteration.  Requires a packed-byte-aligned position;
+            // any block containing a non-ACGTU byte falls through to the
+            // scalar exception-recording loop for up to 64 bytes, then
+            // vector mode resumes.
+            if ((pos & 3) == 0 && i + 64 <= len) {
+                const __m512i raw = _mm512_loadu_si512(src + i);
+                const __m512i code = _mm512_permutexvar_epi8(raw, vlut);
+                const __mmask64 ok =
+                    _mm512_cmpeq_epi8_mask(_mm512_and_si512(raw, vC0), v40) &
+                    _mm512_cmpneq_epi8_mask(code, vFF);
+                if (ok == ~(__mmask64)0) {
+                    _mm512_storeu_si512(flat_out + pos, code);
+                    const __m512i pair = _mm512_maddubs_epi16(code, wm1);
+                    const __m512i quad = _mm512_madd_epi16(pair, wm2);
+                    _mm_storeu_si128((__m128i*)(packed_out + (pos >> 2)),
+                                     _mm512_cvtepi32_epi8(quad));
+                    pos += 64;
+                    i += 64;
+                    continue;
+                }
+            }
+#endif
             uint8_t code = lut[src[i]];
             flat_out[pos] = code;
             if (code >= 4) {
@@ -165,6 +211,7 @@ int64_t build_contig_stream(const uint8_t* seq, const int64_t* offsets,
             acc |= (uint8_t)(code << ((pos & 3) * 2));
             if ((pos & 3) == 3) { packed_out[pos >> 2] = acc; acc = 0; }
             pos++;
+            i++;
         }
         if (s + 1 < n_seqs) {  // inter-contig sentinel gap (k-1 codes)
             for (int64_t g = 0; g < gap; g++) {

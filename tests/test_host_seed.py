@@ -82,6 +82,57 @@ def test_native_seed_anchors_matches_numpy_scan():
             assert np.array_equal(cstrand.astype(bool), strands[exp_cpos])
 
 
+def test_native_build_contig_stream_differential():
+    """Randomized differential for the fused encode+concat+pack+exception C
+    pass (incl. its vector fast path): flat codes, packed bytes, exception
+    list and counts all equal a pure-numpy oracle across alphabets that mix
+    upper/lower case, U/T, ambiguity codes and junk bytes."""
+    hostio = _native()
+    rng = np.random.default_rng(1)
+    alpha = np.frombuffer(b"ACGTacgtUuNnRYx> \t0", dtype=np.uint8)
+    lut = np.full(256, 4, np.uint8)
+    for ch, c in zip(b"AaCcGgTtUu", [0, 0, 1, 1, 2, 2, 3, 3, 3, 3]):
+        lut[ch] = c
+    gap = 14
+    for trial in range(12):
+        n = int(rng.integers(1, 6))
+        hi = 50000 if trial % 3 == 0 else 500
+        lens = rng.integers(0, hi, n).astype(np.int64)
+        seqs = []
+        for ln in lens:
+            wgt = rng.random(ln)
+            s = np.where(wgt < 0.97, alpha[rng.integers(0, 8, ln)],
+                         alpha[rng.integers(0, len(alpha), ln)])
+            seqs.append(s.astype(np.uint8))
+        flatseq = np.concatenate(seqs) if seqs else np.zeros(0, np.uint8)
+        offs = np.zeros(n, np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        real = int(lens.sum()) + gap * max(n - 1, 0)
+        alloc = real + int(rng.integers(0, 100))
+        flat, packed, exc, r2, n_exc = hostio.build_contig_stream(
+            flatseq, offs, lens, gap, max(alloc, 1), 1 << 16
+        )
+        parts = []
+        for i, s in enumerate(seqs):
+            parts.append(lut[s])
+            if i + 1 < n:
+                parts.append(np.full(gap, 4, np.uint8))
+        ref_flat = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        assert r2 == real == len(ref_flat)
+        assert np.array_equal(flat[:real], ref_flat), trial
+        assert np.all(flat[real:] == 4)
+        ref_exc = np.flatnonzero(ref_flat >= 4).astype(np.int32)
+        assert n_exc == len(ref_exc)
+        assert np.array_equal(exc, ref_exc[: len(exc)]), trial
+        codes0 = np.where(ref_flat >= 4, 0, ref_flat)
+        pad = np.zeros((-len(codes0)) % 4, np.uint8)
+        quads = np.concatenate([codes0, pad]).reshape(-1, 4)
+        ref_packed = (
+            quads[:, 0] | (quads[:, 1] << 2) | (quads[:, 2] << 4) | (quads[:, 3] << 6)
+        ).astype(np.uint8)
+        assert np.array_equal(packed, ref_packed), trial
+
+
 def test_native_seed_anchors_chunk_boundaries():
     """Deterministic boundary panel for the vectorized kernel: stream lengths
     straddling the 32K-window chunk size and the 16-lane fill groups, plus
