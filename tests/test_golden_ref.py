@@ -270,6 +270,24 @@ def test_draft_assembly_many_contigs_bit_identical(db_and_truth):
     assert len(our_result.locus_pieces) >= 3
 
 
+def test_dual_locus_contamination_bit_identical(db_and_truth):
+    """TWO complete loci in one assembly (contamination / mixed culture):
+    the best-locus choice rides the full hit table's scoring and cull
+    ordering — the mapq/ordering-sensitive regime — and both engines must
+    agree on every byte of the winner's row, including the extra-genes
+    problem annotations contributed by the losing locus."""
+    db, truth, rng = db_and_truth
+    a = truth["loci"]["KL1"]["seq"]
+    b = truth["loci"]["KL4"]["seq"]
+    fasta = (
+        b">host\n" + random_dna(rng, 4000) + a + random_dna(rng, 4000) + b"\n"
+        b">contam\n" + random_dna(rng, 1500) + b + random_dna(rng, 1500) + b"\n"
+    )
+    our_result, ref_result = _both_results(db, _assemble(fasta, "dual"))
+    _assert_match(our_result, ref_result)
+    assert our_result.best_locus_name in ("KL1", "KL4")
+
+
 def test_jsonl_roundtrip_matches_reference_serialiser(db_and_truth):
     """Our to_dict must carry the same information as the reference's (same
     keys, equal JSON-normalised values), and our from_dict(to_dict) must
