@@ -165,6 +165,30 @@ def test_native_seed_anchors_chunk_boundaries():
         assert np.array_equal(cstrand.astype(bool), strands[exp_cpos]), L
 
 
+def test_native_seed_anchors_extreme_params():
+    """k/w extremes (k=1..2, w=1..2, wide w, k=16 with w=1) stay bit-identical
+    to the numpy scan — the vector fill's shift table and the per-block van
+    Herk scans must hold at degenerate window/k-mer sizes."""
+    hostio = _native()
+    from kaptive_tpu.ops.minimizer import minimizer_scan_host
+
+    rng = np.random.default_rng(9)
+    for k, w in [(1, 1), (2, 1), (1, 2), (2, 2), (16, 1), (15, 2), (3, 30)]:
+        L = int(rng.integers(max(k + w, 2), 70000))
+        codes = rng.integers(0, 4, L).astype(np.uint8)
+        codes[rng.integers(0, L, 5)] = 4
+        sel, hashes, strands = minimizer_scan_host(codes, k, w)
+        pos = np.flatnonzero(sel)
+        table = np.sort(hashes[pos][::2]) if len(pos) else np.zeros(0, np.uint32)
+        lo = np.searchsorted(table, hashes[pos], "left")
+        hi = np.searchsorted(table, hashes[pos], "right")
+        exp_cpos = np.repeat(pos, np.minimum(hi - lo, 1024))
+        ti, cpos, cstrand, n_min, nc = hostio.seed_anchors(codes, k, w, table, 1024)
+        assert n_min == len(pos), (k, w, L)
+        assert np.array_equal(cpos, exp_cpos), (k, w, L)
+        assert np.array_equal(cstrand.astype(bool), strands[exp_cpos]), (k, w, L)
+
+
 def test_native_seed_anchors_edge_cases():
     hostio = _native()
     # Shorter than k / all-sentinel streams produce nothing, no crash.
