@@ -61,6 +61,7 @@ _lib.seed_anchors.argtypes = [
     ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
     ctypes.c_void_p, ctypes.c_int64,
     ctypes.c_void_p, ctypes.c_int32,
+    ctypes.c_void_p, ctypes.c_int32,
     ctypes.c_int32, ctypes.c_int64,
     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
 ]
@@ -159,6 +160,7 @@ def seed_anchors(
     codes: np.ndarray, k: int, w: int, table_hashes: np.ndarray,
     max_occ: int, cap_out: int = 1 << 17,
     bloom_words: np.ndarray | None = None, bloom_bits: int = 0,
+    bucket_starts: np.ndarray | None = None, bucket_shift: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
     r"""Native minimizer scan + sorted-table match over a contig code stream.
 
@@ -167,7 +169,9 @@ def seed_anchors(
     ``(table_rows, flat_positions, contig_strands, n_minimizers,
     n_candidates)`` — anchor rows in ascending flat-position order.  Grows the
     output buffers and retries if ``cap_out`` is exceeded (the C call returns
-    the exact total either way).
+    the exact total either way).  ``bucket_starts``/``bucket_shift``
+    optionally bound each table search to one hash-prefix bucket (the same
+    index the device match uses).
     """
     codes_c = np.ascontiguousarray(codes, dtype=np.uint8)
     table_c = np.ascontiguousarray(table_hashes, dtype=np.uint32)
@@ -176,6 +180,13 @@ def seed_anchors(
         if bloom_words is not None else None
     )
     bloom_p = bloom_c.ctypes.data_as(ctypes.c_void_p) if bloom_c is not None else None
+    buckets_c = (
+        np.ascontiguousarray(bucket_starts, dtype=np.int32)
+        if bucket_starts is not None else None
+    )
+    buckets_p = (
+        buckets_c.ctypes.data_as(ctypes.c_void_p) if buckets_c is not None else None
+    )
     while True:
         ti = np.empty(cap_out, dtype=np.int32)
         cpos = np.empty(cap_out, dtype=np.int32)
@@ -186,6 +197,7 @@ def seed_anchors(
             int(k), int(w),
             table_c.ctypes.data_as(ctypes.c_void_p), len(table_c),
             bloom_p, int(bloom_bits),
+            buckets_p, int(bucket_shift),
             int(max_occ), cap_out,
             ti.ctypes.data_as(ctypes.c_void_p),
             cpos.ctypes.data_as(ctypes.c_void_p),

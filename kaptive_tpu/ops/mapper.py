@@ -116,10 +116,7 @@ class GeneIndex:
             import jax.numpy as jnp
 
             h = self.minimizers.hashes  # sorted uint32
-            shift = BUCKET_SHIFT
-            n_buckets = 1 << (32 - shift)
-            bucket_of = (h >> np.uint32(shift)).astype(np.int64)
-            bucket_starts = np.searchsorted(bucket_of, np.arange(n_buckets + 1)).astype(np.int32)
+            bucket_starts = self.host_buckets
             occupancy = np.diff(bucket_starts)
             iters = (
                 int(np.ceil(np.log2(max(int(occupancy.max()), 1) + 1))) + 1 if len(h) else 1
@@ -151,6 +148,24 @@ class GeneIndex:
 
             self._cache["glen"] = jnp.asarray(self.lengths.astype(np.int32))
         return self._cache["glen"]
+
+    @property
+    def host_buckets(self) -> np.ndarray:
+        r"""Hash-prefix bucket starts over the sorted table (host copy, cached).
+
+        ``buckets[hash >> BUCKET_SHIFT] .. buckets[+1]`` bounds the table run
+        of any hash — shared by the device match (:attr:`device_lookup`) and
+        the native host seeding kernel, which both replace full-table binary
+        searches with a per-bucket search of a few steps.
+        """
+        if "buckets_np" not in self._cache:
+            h = self.minimizers.hashes  # sorted uint32
+            n_buckets = 1 << (32 - BUCKET_SHIFT)
+            bucket_of = (h >> np.uint32(BUCKET_SHIFT)).astype(np.int64)
+            self._cache["buckets_np"] = np.searchsorted(
+                bucket_of, np.arange(n_buckets + 1)
+            ).astype(np.int32)
+        return self._cache["buckets_np"]
 
     @property
     def host_bloom(self) -> np.ndarray:
@@ -268,6 +283,7 @@ def host_seed_chains(gene_index: GeneIndex, contig_index, params: MapperParams) 
             contig_index.codes, gene_index.k, gene_index.w, tm.hashes,
             min(params.max_occ, DEVICE_MAX_OCC),
             bloom_words=gene_index.host_bloom, bloom_bits=BLOOM_BITS,
+            bucket_starts=gene_index.host_buckets, bucket_shift=BUCKET_SHIFT,
         )
         _count("map.host_seed.native")
         c_idx = np.searchsorted(contig_index.starts, cpos, side="right") - 1

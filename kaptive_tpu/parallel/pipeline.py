@@ -162,6 +162,7 @@ def stream_type(
             gene_index = serotyper._db.gene_index
             mp = serotyper.mapper_params
             gene_index.host_bloom  # build once before the pool fans out
+            gene_index.host_buckets
             pre_seed = lambda ci: (gene_index, mp, host_seed_chains(gene_index, ci, mp))
     batches = stream_batches(
         genomes, batch_size, prefetch_batches, max_workers=max_workers,

@@ -252,6 +252,7 @@ int64_t build_contig_stream(const uint8_t* seq, const int64_t* offsets,
 int64_t seed_anchors(const uint8_t* codes, int64_t L, int32_t k, int32_t w,
                      const uint32_t* table, int64_t T,
                      const uint32_t* bloom, int32_t bloom_bits,
+                     const int32_t* buckets, int32_t bucket_shift,
                      int32_t max_occ, int64_t cap_out,
                      int32_t* out_ti, int32_t* out_cpos, uint8_t* out_cstrand,
                      int64_t* out_counts) {
@@ -485,20 +486,18 @@ int64_t seed_anchors(const uint8_t* codes, int64_t L, int32_t k, int32_t w,
                     wv &= wv - (((uint64_t)1) << (j * 8));
                     const uint64_t m = mwin[8 * g + j];
                     emitbuf[ne++] = m;
-                    if (bloom) {
-                        const uint32_t bit = (uint32_t)(m >> 32) & bmask;
-                        __builtin_prefetch(&bloom[bit >> 5], 0, 1);
-                    }
+                    const uint32_t bh = (uint32_t)(m >> 32);
+                    if (bloom) __builtin_prefetch(&bloom[(bh & bmask) >> 5], 0, 1);
+                    if (buckets) __builtin_prefetch(&buckets[bh >> bucket_shift], 0, 1);
                 }
             }
             for (int64_t i = 8 * n8; i < n_win; i++) {
                 if (dmask[i]) {
                     const uint64_t m = mwin[i];
                     emitbuf[ne++] = m;
-                    if (bloom) {
-                        const uint32_t bit = (uint32_t)(m >> 32) & bmask;
-                        __builtin_prefetch(&bloom[bit >> 5], 0, 1);
-                    }
+                    const uint32_t bh = (uint32_t)(m >> 32);
+                    if (bloom) __builtin_prefetch(&bloom[(bh & bmask) >> 5], 0, 1);
+                    if (buckets) __builtin_prefetch(&buckets[bh >> bucket_shift], 0, 1);
                 }
             }
         }
@@ -512,14 +511,23 @@ int64_t seed_anchors(const uint8_t* codes, int64_t L, int32_t k, int32_t w,
                 const uint32_t bit = bh & bmask;
                 if (!((bloom[bit >> 5] >> (bit & 31)) & 1)) continue;
             }
-            // Sorted-table lookup: [lo, hi) = run of this hash.
+            // Sorted-table lookup: [lo, hi) = run of this hash.  With the
+            // optional hash-prefix bucket index (same structure as the
+            // device's bucketed_first_ge) the search spans one bucket's
+            // occupancy (~log2(max bucket) steps) instead of the full table.
             int64_t lo = 0, hi = T;
+            if (buckets) {
+                const uint32_t bi = bh >> bucket_shift;
+                lo = buckets[bi];
+                hi = buckets[bi + 1];
+            }
+            const int64_t span_hi = hi;
             while (lo < hi) {
                 const int64_t mid = (lo + hi) >> 1;
                 if (table[mid] < bh) lo = mid + 1; else hi = mid;
             }
-            if (lo >= T || table[lo] != bh) continue;
-            int64_t hi2 = lo, top = T;
+            if (lo >= span_hi || table[lo] != bh) continue;
+            int64_t hi2 = lo, top = span_hi;
             while (hi2 < top) {  // upper bound
                 const int64_t mid = (hi2 + top) >> 1;
                 if (table[mid] <= bh) hi2 = mid + 1; else top = mid;

@@ -71,9 +71,16 @@ def test_native_seed_anchors_matches_numpy_scan():
         pos, exp_ti, exp_cpos, strands, n_cand = _numpy_anchor_oracle(
             codes, k, w, table, max_occ
         )
-        for bw, bb in ((None, 0), (words, BB)):
+        SHIFT = 12
+        bucket_of = (table.astype(np.int64) >> SHIFT)
+        buckets = np.searchsorted(bucket_of, np.arange((1 << (32 - SHIFT)) + 1)).astype(
+            np.int32
+        )
+        for bw, bb, bk in ((None, 0, None), (words, BB, None), (words, BB, buckets),
+                           (None, 0, buckets)):
             ti, cpos, cstrand, n_min, nc = hostio.seed_anchors(
-                codes, k, w, table, max_occ, bloom_words=bw, bloom_bits=bb
+                codes, k, w, table, max_occ, bloom_words=bw, bloom_bits=bb,
+                bucket_starts=bk, bucket_shift=SHIFT if bk is not None else 0,
             )
             assert n_min == len(pos)
             assert nc == n_cand
